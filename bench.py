@@ -1,0 +1,61 @@
+"""Benchmark: Cornell-box path tracing throughput on the local accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference CUDA megakernel renders 256²×2048spp in ≈15,546 ms
+on a GTX 1070 (docs/dmt-mk_roofline_point.txt, BASELINE.md) →
+≈ 8.63 M camera paths/s. We report camera paths/s on the same scene and
+resolution with the depth-5 NEE integrator.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from cuda_optix_pathtracing_tpu.scene import cornell_box
+    from cuda_optix_pathtracing_tpu.models.megakernel import (
+        MegakernelConfig,
+        render_progressive,
+    )
+    from cuda_optix_pathtracing_tpu.ops.film import film_new
+
+    width = height = 256
+    kspp = 8
+    cfg = MegakernelConfig(max_depth=5, remat=False)
+    scene = cornell_box(width, height)
+    film = film_new(height, width)
+
+    # warmup / compile
+    film = render_progressive(scene, film, cfg, width, height, jnp.uint32(0), kspp)
+    film.mean.block_until_ready()
+
+    iters = 4
+    t0 = time.perf_counter()
+    for i in range(iters):
+        film = render_progressive(
+            scene, film, cfg, width, height, jnp.uint32((i + 1) * kspp), kspp
+        )
+    film.mean.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    paths = width * height * kspp * iters
+    mpaths_s = paths / dt / 1e6
+    baseline_mpaths_s = 8.63  # GTX 1070 reference megakernel
+    print(
+        json.dumps(
+            {
+                "metric": "cornell256_depth5_throughput",
+                "value": round(mpaths_s, 3),
+                "unit": "Mpaths/s",
+                "vs_baseline": round(mpaths_s / baseline_mpaths_s, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Differentiable rendering: inverse-rendering losses and gradient checks.
+
+Net-new capability vs the reference (BASELINE.md north star): gradients of
+the rendered image w.r.t. material albedos, light emission and environment
+radiance, via *path-replay backpropagation* — the forward bounce loop is
+rematerialized (``jax.checkpoint`` in models/megakernel.py), so the
+backward pass re-traces each bounce from its stateless RNG counters
+instead of storing intermediates.
+
+Correctness hinges on **detached sampling**: sampled directions and pdfs
+are treated as constants of the estimator. For the parameters supported
+here (albedo / emission / env color) the sampling distributions don't
+depend on the parameters, so plain autodiff through ``f/pdf`` is already
+the detached estimator and matches finite differences.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..scene.types import Scene
+from .megakernel import MegakernelConfig, render_sample_batch
+
+
+def inject_params(scene: Scene, params: dict) -> Scene:
+    """Return a scene with optimizable parameters swapped in.
+
+    Supported keys: ``albedo`` (M,3), ``light_color`` (L,3),
+    ``env_color`` (3,).
+    """
+    materials = scene.materials
+    lights = scene.lights
+    env = scene.env_color
+    if "albedo" in params:
+        materials = materials._replace(albedo=params["albedo"])
+    if "refl_tint" in params:
+        materials = materials._replace(refl_tint=params["refl_tint"])
+    if "trans_tint" in params:
+        materials = materials._replace(trans_tint=params["trans_tint"])
+    if "light_color" in params:
+        lights = lights._replace(color=params["light_color"])
+    if "env_color" in params:
+        env = params["env_color"]
+    return scene._replace(materials=materials, lights=lights, env_color=env)
+
+
+def init_params(scene: Scene, keys=("albedo",)) -> dict:
+    src = dict(
+        albedo=scene.materials.albedo,
+        refl_tint=scene.materials.refl_tint,
+        trans_tint=scene.materials.trans_tint,
+        light_color=scene.lights.color,
+        env_color=scene.env_color,
+    )
+    return {k: src[k] for k in keys}
+
+
+@partial(jax.jit, static_argnames=("cfg", "width", "height", "spp"))
+def render_mean(scene: Scene, cfg: MegakernelConfig, width, height, spp, sample_offset=0):
+    """Mean image over ``spp`` samples (differentiable)."""
+
+    def step(mean, s):
+        r = render_sample_batch(scene, cfg, width, height, jnp.uint32(sample_offset) + s)
+        return mean + r / spp, None
+
+    mean, _ = jax.lax.scan(
+        step,
+        jnp.zeros((height, width, 3), jnp.float32),
+        jnp.arange(spp, dtype=jnp.uint32),
+    )
+    return mean
+
+
+def make_loss(
+    scene: Scene, cfg: MegakernelConfig, width: int, height: int, spp: int, target
+) -> Callable:
+    """L2 image loss as a function of the optimizable parameters."""
+
+    def loss(params, sample_offset=0):
+        sc = inject_params(scene, params)
+        img = render_mean(sc, cfg, width, height, spp, sample_offset)
+        return jnp.mean((img - target) ** 2)
+
+    return loss
+
+
+def fd_gradient_check(loss_fn, params, key_path, idx, eps=1e-2):
+    """Central finite difference of ``loss_fn`` w.r.t. one scalar entry.
+
+    Returns (autodiff_grad, fd_grad) for ``params[key_path][idx]``.
+    Uses the same RNG stream (sample_offset fixed) so the FD sees the same
+    paths — exactly the replayability the counter-based RNG guarantees.
+    """
+    g = jax.grad(loss_fn)(params)
+    auto = float(g[key_path][idx])
+
+    def perturbed(sign):
+        p = dict(params)
+        p[key_path] = params[key_path].at[idx].add(sign * eps)
+        return float(loss_fn(p))
+
+    fd = (perturbed(+1.0) - perturbed(-1.0)) / (2 * eps)
+    return auto, fd

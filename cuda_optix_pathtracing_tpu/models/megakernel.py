@@ -1,0 +1,251 @@
+"""Megakernel integrator: the whole path loop as one fused jitted function.
+
+TPU re-design of the reference megakernel (megakernel.cu:53-322): instead
+of one CUDA thread per pixel walking a divergent ``while`` loop, every
+bounce is a dense masked step over the full ray batch inside a
+``lax.fori_loop`` — dead lanes carry ``alive=False`` and contribute
+nothing. XLA fuses the shading math; intersection dominates, running as a
+ray-tile × triangle-tile sweep (ops/intersect.py, Pallas variant
+available).
+
+Estimator (NEE + one-sample power-heuristic MIS + Russian roulette,
+transmission tracking):
+
+    L += β · Le · f·cosθ · w / (pmf · pdf_light)   (area/cone lights)
+    L += β · Le · f·cosθ / pmf                      (delta lights)
+    β *= f·cosθ / pdf_bsdf                          (bounce)
+
+This is the *correct* version of megakernel.cu:169-295 — see
+ops/bsdf.py's module docstring for the reference's energy-handling bugs we
+intentionally do not reproduce (the quality gate is RMSE vs Cycles).
+
+Differentiability: each bounce's body is wrapped in ``jax.checkpoint``
+when ``cfg.remat`` is set, so the backward pass *replays* the path from
+its RNG counters instead of storing per-bounce intermediates — the
+TPU-idiomatic form of path-replay backpropagation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops import rng as R
+from ..ops.bsdf import sample_bsdf, eval_bsdf
+from ..ops.camera import generate_rays, pixel_centers
+from ..ops.film import Film, film_add_sample, film_new
+from ..ops.intersect import intersect_any, intersect_closest
+from ..ops.lights import eval_light, sample_light
+from ..ops.vecmath import max_component, offset_ray_origin, sqr
+from ..scene.types import Scene
+
+
+@dataclass(frozen=True)
+class MegakernelConfig:
+    max_depth: int = 5  # bounce budget (reference megakernel: 32, wavefront: 3)
+    rr_start_depth: int = 2  # roulette active for depth > 1 (megakernel.cu:283)
+    sampler: str = "hash"  # "hash" | "halton"
+    seed: int = 0
+    remat: bool = True  # recompute bounces in backward (path replay)
+    tri_chunk: int = 128
+
+
+class PathState(NamedTuple):
+    o: jnp.ndarray  # (N,3)
+    d: jnp.ndarray  # (N,3)
+    beta: jnp.ndarray  # (N,3)
+    radiance: jnp.ndarray  # (N,3)
+    alive: jnp.ndarray  # (N,)
+    inside: jnp.ndarray  # (N,) odd transmission count
+    eta_scale: jnp.ndarray  # (N,) ∏ η² for roulette
+
+
+def _nee(scene: Scene, sampler: R.Sampler, px, py, sample, depth_dim, hit, wo, inside):
+    """Next-event estimation at the hit points; returns (N,3) contribution."""
+    n_lights = scene.num_lights
+    ul = sampler.sample_1d(px, py, sample, depth_dim + R.Dim.LIGHT_SELECT)
+    light_idx = jnp.minimum((ul * n_lights).astype(jnp.int32), n_lights - 1)
+    lt = scene.lights.gather(light_idx)
+    pmf = 1.0 / n_lights
+
+    u1, u2 = sampler.sample_2d(px, py, sample, depth_dim + R.Dim.LIGHT_U)
+    ls = sample_light(lt, hit.pos, u1, u2, jnp.zeros_like(inside), hit.normal)
+
+    shadow_o = offset_ray_origin(hit.pos, hit.error, hit.normal, ls.direction)
+    occluded = intersect_any(
+        shadow_o,
+        ls.direction,
+        scene.tri_v0,
+        scene.tri_e0,
+        scene.tri_e1,
+        t_max=ls.distance,
+    )
+
+    f_cos, bsdf_pdf = eval_bsdf(
+        scene.materials.gather(scene.tri_mat[hit.tri]),
+        wo,
+        ls.direction,
+        hit.normal,
+        hit.normal,
+        inside,
+    )
+    le = eval_light(lt, ls)
+
+    # Point/spot/directional lights are (soft-)delta emitters: they are not
+    # scene geometry, so BSDF rays can never hit them and NEE is the *only*
+    # estimator — no MIS weight or solid-angle pdf division applies. The
+    # nucleus-cone sample only jitters the direction for soft shadows, and
+    # eval_light already folds the 1/d² falloff into ``le``. (The
+    # reference's non-delta branch, megakernel.cu:230-239, multiplies a
+    # power-heuristic w≈1 and likewise never divides by the cone pdf.)
+    contrib = le * f_cos / pmf
+    ok = (ls.pdf > 0.0) & ~occluded
+    return jnp.where(ok[..., None], contrib, 0.0)
+
+
+def trace_paths(
+    scene: Scene,
+    cfg: MegakernelConfig,
+    px,
+    py,
+    sample,
+    o,
+    d,
+):
+    """Trace one sample per pixel for rays (o, d); returns radiance (N,3).
+
+    ``px, py`` are uint32 pixel coords (RNG keys), ``sample`` the global
+    sample index (traced scalar or (N,) array).
+    """
+    n = o.shape[0]
+    sampler = R.Sampler(cfg.sampler, cfg.seed)
+
+    state = PathState(
+        o=o,
+        d=d,
+        beta=jnp.ones((n, 3), jnp.float32),
+        radiance=jnp.zeros((n, 3), jnp.float32),
+        alive=jnp.ones((n,), bool),
+        inside=jnp.zeros((n,), bool),
+        eta_scale=jnp.ones((n,), jnp.float32),
+    )
+
+    def bounce(depth, state: PathState) -> PathState:
+        depth_dim = depth * R.DIMS_PER_BOUNCE
+        hit = intersect_closest(
+            state.o,
+            state.d,
+            scene.tri_v0,
+            scene.tri_e0,
+            scene.tri_e1,
+            chunk=cfg.tri_chunk,
+        )
+
+        # miss → constant environment, path dies (megakernel.cu:135-151);
+        # NEE never samples the env here so the full weight is unbiased.
+        miss = state.alive & ~hit.hit
+        radiance = state.radiance + jnp.where(
+            miss[..., None], state.beta * scene.env_color, 0.0
+        )
+        alive = state.alive & hit.hit
+
+        wo = -state.d
+        nee = _nee(
+            scene, sampler, px, py, sample, depth_dim, hit, wo, state.inside
+        )
+        radiance = radiance + jnp.where(
+            alive[..., None], state.beta * nee, 0.0
+        )
+
+        # bounce
+        u1, u2 = sampler.sample_2d(px, py, sample, depth_dim + R.Dim.BSDF_U)
+        uc = sampler.sample_1d(px, py, sample, depth_dim + R.Dim.BSDF_UC)
+        mat = scene.materials.gather(scene.tri_mat[hit.tri])
+        bs = sample_bsdf(mat, wo, hit.normal, hit.normal, u1, u2, uc, state.inside)
+
+        valid = bs.pdf > 0.0
+        beta = state.beta * jnp.where(
+            valid[..., None], bs.f_cos / jnp.maximum(bs.pdf, 1e-12)[..., None], 1.0
+        )
+        alive = alive & valid
+        o_new = offset_ray_origin(hit.pos, hit.error, hit.normal, bs.wi)
+        inside = state.inside ^ (bs.refract & alive)
+        eta_scale = jnp.where(
+            bs.refract & alive, state.eta_scale * sqr(bs.eta), state.eta_scale
+        )
+
+        # russian roulette on β·∏η² after rr_start_depth (megakernel.cu:283-295)
+        rr_beta = max_component(beta) * eta_scale
+        u_rr = sampler.sample_1d(px, py, sample, depth_dim + R.Dim.RR)
+        q = jnp.maximum(0.0, 1.0 - rr_beta)
+        do_rr = (rr_beta < 1.0) & (depth >= cfg.rr_start_depth)
+        killed = do_rr & (u_rr < q)
+        survived_scale = jnp.where(do_rr & ~killed, 1.0 / jnp.maximum(1.0 - q, 1e-6), 1.0)
+        beta = beta * survived_scale[..., None]
+        alive = alive & ~killed
+
+        return PathState(
+            o=jnp.where(alive[..., None], o_new, state.o),
+            d=jnp.where(alive[..., None], bs.wi, state.d),
+            beta=jnp.where(alive[..., None], beta, state.beta),
+            radiance=radiance,
+            alive=alive,
+            inside=inside,
+            eta_scale=eta_scale,
+        )
+
+    # Python-unrolled depth loop: keeps RNG dimensions static (required for
+    # the Halton sampler's prime-base selection) and lets XLA pipeline the
+    # bounces. remat → backward replays each bounce from RNG counters.
+    body = jax.checkpoint(bounce, static_argnums=(0,)) if cfg.remat else bounce
+    for depth in range(cfg.max_depth):
+        state = body(depth, state)
+    return state.radiance
+
+
+def render_sample_batch(scene: Scene, cfg: MegakernelConfig, width, height, sample):
+    """Render one sample for every pixel → (H, W, 3) radiance."""
+    pix = pixel_centers(width, height)  # (N,2) float pixel indices
+    px = pix[:, 0].astype(jnp.uint32)
+    py = pix[:, 1].astype(jnp.uint32)
+    sampler = R.Sampler(cfg.sampler, cfg.seed)
+    jx, jy = sampler.sample_2d(px, py, sample, R.Dim.CAMERA_U)
+    p_film = pix + jnp.stack([jx, jy], axis=-1)
+    o, d = generate_rays(p_film, scene.cam_from_raster, scene.world_from_cam)
+    radiance = trace_paths(scene, cfg, px, py, sample, o, d)
+    return radiance.reshape(height, width, 3)
+
+
+@partial(jax.jit, static_argnames=("cfg", "width", "height", "kspp"))
+def render_progressive(scene: Scene, film: Film, cfg: MegakernelConfig, width, height, sample_offset, kspp):
+    """Accumulate ``kspp`` samples into the film starting at
+    ``sample_offset`` (the reference's per-launch sample batching,
+    megakernel/main.cu:141-193)."""
+
+    def step(film, k):
+        radiance = render_sample_batch(scene, cfg, width, height, sample_offset + k)
+        return film_add_sample(film, radiance), None
+
+    film, _ = lax.scan(step, film, jnp.arange(kspp, dtype=jnp.uint32))
+    return film
+
+
+def render(scene: Scene, width: int, height: int, spp: int, cfg: MegakernelConfig | None = None, kspp: int = 4, film: Film | None = None, progress_cb=None):
+    """Host-side progressive render loop (checkpointable between batches)."""
+    cfg = cfg or MegakernelConfig()
+    film = film if film is not None else film_new(height, width)
+    done = int(film.n)
+    while done < spp:
+        batch = min(kspp, spp - done)
+        film = render_progressive(
+            scene, film, cfg, width, height, jnp.uint32(done), batch
+        )
+        done += batch
+        if progress_cb is not None:
+            progress_cb(film, done)
+    return film

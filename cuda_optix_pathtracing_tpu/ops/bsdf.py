@@ -529,7 +529,7 @@ def sample_bsdf(
     do_refract = uc > pdf_reflect
     inv_eta = 1.0 / eta_eff
     wi_refl = 2.0 * cos_ho[..., None] * h - wo
-    wi_refr = refract_angle(wo, h, cos_hi, inv_eta[..., None] * jnp.ones_like(cos_hi))
+    wi_refr = refract_angle(wo, h, cos_hi, inv_eta[..., None])
     wi_g = jnp.where(do_refract[..., None], wi_refr, wi_refl)
 
     bad_hemi = (dot(ng, wi_g) <= 0.0) & ~do_refract

@@ -143,12 +143,15 @@ def reflect(wo, n):
 
 
 def refract_angle(incident, normal, cos_theta_t, inv_eta):
-    """Refracted direction given precomputed transmitted cosine.
+    """Refracted direction given precomputed transmitted cosine (Snell).
 
-    Assumes the normal is oriented so dot(normal, incident) > 0.
-    Reference: bsdf.cu refractAngle (private/bsdf.cu:358-365).
+    ``incident`` points *away* from the surface, ``normal`` oriented to its
+    side (dot > 0), ``inv_eta = η_i/η_t``. At normal incidence this returns
+    ``-normal``. Note: the reference's refractAngle (bsdf.cu:358-365) has
+    the cosθt sign flipped, sending transmitted rays back out of the
+    surface — a bug we do not reproduce.
     """
-    c = inv_eta * dot(incident, normal, keepdims=True) + cos_theta_t[..., None]
+    c = inv_eta * dot(incident, normal, keepdims=True) - cos_theta_t[..., None]
     return c * normal - inv_eta * incident
 
 

@@ -1,0 +1,183 @@
+"""Mesh import: binary/ASCII FBX and OBJ, pure Python.
+
+Capability parity with the reference's FBX import (core-mesh-parser.cpp:617,
+which uses the proprietary Autodesk FBX SDK): we read the triangulated
+geometry (positions + polygon indices, fan-triangulated) directly from the
+documented FBX 7.x binary node format — enough for the bundled assets
+(scenes/sphere.fbx, res/fbx/teapot.fbx). Materials/normals/UVs beyond the
+first mesh are ignored, as in the reference.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+import zlib
+
+import numpy as np
+
+_FBX_MAGIC = b"Kaydara FBX Binary  \x00\x1a\x00"
+
+
+def _read_fbx_props(data, pos, count):
+    props = []
+    for _ in range(count):
+        t = data[pos : pos + 1]
+        pos += 1
+        if t == b"Y":
+            (v,) = struct.unpack_from("<h", data, pos)
+            pos += 2
+        elif t == b"C":
+            v = bool(data[pos])
+            pos += 1
+        elif t == b"I":
+            (v,) = struct.unpack_from("<i", data, pos)
+            pos += 4
+        elif t == b"F":
+            (v,) = struct.unpack_from("<f", data, pos)
+            pos += 4
+        elif t == b"D":
+            (v,) = struct.unpack_from("<d", data, pos)
+            pos += 8
+        elif t == b"L":
+            (v,) = struct.unpack_from("<q", data, pos)
+            pos += 8
+        elif t in (b"f", b"d", b"l", b"i", b"b"):
+            n, enc, clen = struct.unpack_from("<III", data, pos)
+            pos += 12
+            raw = data[pos : pos + clen]
+            pos += clen
+            if enc == 1:
+                raw = zlib.decompress(raw)
+            dt = {b"f": "<f4", b"d": "<f8", b"l": "<i8", b"i": "<i4", b"b": "i1"}[t]
+            v = np.frombuffer(raw, dtype=dt, count=n)
+        elif t in (b"S", b"R"):
+            (n,) = struct.unpack_from("<I", data, pos)
+            pos += 4
+            v = data[pos : pos + n]
+            pos += n
+            if t == b"S":
+                v = v.decode("utf-8", "replace")
+        else:
+            raise ValueError(f"unknown FBX property type {t!r}")
+        props.append(v)
+    return props, pos
+
+
+def _parse_fbx_nodes(data, pos, end, version):
+    """Parse sibling node records until the NULL sentinel; returns a list of
+    (name, props, children)."""
+    word = 8 if version >= 7500 else 4
+    fmt = "<QQQ" if version >= 7500 else "<III"
+    sentinel = 13 + 12 if version >= 7500 else 13
+    nodes = []
+    while pos < end:
+        end_off, n_props, _plen = struct.unpack_from(fmt, data, pos)
+        name_len = data[pos + 3 * word]
+        hdr = 3 * word + 1
+        if end_off == 0:
+            pos += hdr + 0  # NULL record
+            # NULL record is hdr bytes of zeros + name byte; its size equals
+            # the header size (13 or 25); advance past it and stop
+            pos += sentinel - hdr - 1 if sentinel > hdr + 1 else 0
+            break
+        name = data[pos + hdr : pos + hdr + name_len].decode("ascii", "replace")
+        p = pos + hdr + name_len
+        props, p = _read_fbx_props(data, p, n_props)
+        children = []
+        if p < end_off:
+            children = _parse_fbx_nodes(data, p, end_off, version)
+        nodes.append((name, props, children))
+        pos = end_off
+    return nodes
+
+
+def _find_nodes(nodes, name):
+    return [n for n in nodes if n[0] == name]
+
+
+def load_fbx(path: str) -> np.ndarray:
+    """Load the first mesh → (T,3,3) float32 triangles (fan-triangulated)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[: len(_FBX_MAGIC)] == _FBX_MAGIC:
+        (version,) = struct.unpack_from("<I", data, 23)
+        nodes = _parse_fbx_nodes(data, 27, len(data), version)
+        verts = idx = None
+        objects = _find_nodes(nodes, "Objects")
+        geoms = []
+        for _, _, children in objects:
+            geoms += _find_nodes(children, "Geometry") + _find_nodes(children, "Model")
+        for _, _, gchildren in geoms:
+            v = _find_nodes(gchildren, "Vertices")
+            i = _find_nodes(gchildren, "PolygonVertexIndex")
+            if v and i:
+                verts = np.asarray(v[0][1][0], np.float64).reshape(-1, 3)
+                idx = np.asarray(i[0][1][0], np.int64)
+                break
+        if verts is None:
+            raise ValueError(f"no mesh geometry found in {path}")
+    else:
+        verts, idx = _load_fbx_ascii(path)
+    return _triangulate(verts, idx)
+
+
+def _load_fbx_ascii(path: str):
+    """Minimal ASCII FBX: extract the first Vertices/PolygonVertexIndex."""
+    with open(path, "r", errors="replace") as f:
+        text = f.read()
+
+    def grab(key):
+        m = re.search(key + r"\s*:\s*\*?\d*\s*\{?\s*a?:?([\s\-0-9.,eE+]+)", text)
+        if not m:
+            raise ValueError(f"{key} not found in ASCII FBX")
+        return np.fromstring(m.group(1).replace("\n", " "), sep=",")
+
+    verts = grab(r"Vertices").reshape(-1, 3)
+    idx = grab(r"PolygonVertexIndex").astype(np.int64)
+    return verts, idx
+
+
+def _triangulate(verts: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """FBX polygon list (negative index = ~last of polygon) → triangle fan."""
+    tris = []
+    poly = []
+    for i in idx:
+        if i < 0:
+            poly.append(~int(i))
+            for k in range(1, len(poly) - 1):
+                tris.append((poly[0], poly[k], poly[k + 1]))
+            poly = []
+        else:
+            poly.append(int(i))
+    t = np.asarray(tris, np.int64)
+    return verts[t].astype(np.float32)
+
+
+def load_obj(path: str) -> np.ndarray:
+    """Wavefront OBJ positions + faces → (T,3,3) float32 (fan-triangulated)."""
+    verts = []
+    tris = []
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                verts.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "f":
+                ids = [int(p.split("/")[0]) for p in parts[1:]]
+                ids = [i - 1 if i > 0 else len(verts) + i for i in ids]
+                for k in range(1, len(ids) - 1):
+                    tris.append((ids[0], ids[k], ids[k + 1]))
+    v = np.asarray(verts, np.float64)
+    t = np.asarray(tris, np.int64)
+    return v[t].astype(np.float32)
+
+
+def load_mesh(path: str) -> np.ndarray:
+    if path.lower().endswith(".obj"):
+        return load_obj(path)
+    if path.lower().endswith(".fbx"):
+        return load_fbx(path)
+    raise ValueError(f"unsupported mesh format: {path}")

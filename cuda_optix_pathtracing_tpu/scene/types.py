@@ -1,0 +1,86 @@
+"""Flat SoA scene representation — the device-side scene format.
+
+The reference uploads a padded-float4 SoA TriangleSoup + BSDF/Light arrays
+(types.cuh:119-158, host_utils.cu:118-230). Our equivalent is a pytree of
+jnp arrays: triangles as (v0, e0, e1) SoA, material/light parameter tables,
+and the camera transforms — everything jit-traceable and shardable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.bsdf import MaterialTable, make_material_table
+from ..ops.lights import LightTable, make_light_table
+from ..ops.camera import CameraConfig, camera_from_raster, world_from_camera
+
+
+class Scene(NamedTuple):
+    """Device scene (jit-traceable pytree)."""
+
+    tri_v0: jnp.ndarray  # (T,3)
+    tri_e0: jnp.ndarray  # (T,3) p1 - p0
+    tri_e1: jnp.ndarray  # (T,3) p2 - p0
+    tri_mat: jnp.ndarray  # (T,) i32 material id
+    materials: MaterialTable
+    lights: LightTable  # finite lights (NEE targets)
+    env_color: jnp.ndarray  # (3,) constant environment radiance
+    cam_from_raster: jnp.ndarray  # (4,4)
+    world_from_cam: jnp.ndarray  # (4,4)
+
+    @property
+    def num_triangles(self):
+        return self.tri_v0.shape[0]
+
+    @property
+    def num_lights(self):
+        return self.lights.ltype.shape[0]
+
+
+@dataclass
+class HostScene:
+    """Mutable host-side scene under construction (reference
+    HostTriangleScene, host_scene.cuh:26-49)."""
+
+    triangles: list = field(default_factory=list)  # (3,3) float arrays
+    tri_mat: list = field(default_factory=list)
+    materials: list = field(default_factory=list)  # bsdf factory dicts
+    lights: list = field(default_factory=list)  # light factory dicts
+    env_color: tuple = (0.0, 0.0, 0.0)
+    camera: CameraConfig = field(default_factory=CameraConfig)
+
+    def add_model(self, tris: Sequence, mat_id: int):
+        for t in tris:
+            self.triangles.append(np.asarray(t, np.float32))
+            self.tri_mat.append(mat_id)
+
+    def add_material(self, mat: dict) -> int:
+        self.materials.append(mat)
+        return len(self.materials) - 1
+
+    def add_light(self, light: dict):
+        self.lights.append(light)
+
+
+def scene_from_host(hs: HostScene) -> Scene:
+    tris = np.stack(hs.triangles).astype(np.float32)  # (T,3,3)
+    cam = hs.camera
+    # NEE needs ≥1 light row; a zero-intensity point light is a no-op filler
+    lights = hs.lights if hs.lights else [dict(ltype=0, color=(0.0, 0.0, 0.0))]
+    return Scene(
+        tri_v0=jnp.asarray(tris[:, 0]),
+        tri_e0=jnp.asarray(tris[:, 1] - tris[:, 0]),
+        tri_e1=jnp.asarray(tris[:, 2] - tris[:, 0]),
+        tri_mat=jnp.asarray(hs.tri_mat, jnp.int32),
+        materials=make_material_table(hs.materials),
+        lights=make_light_table(lights),
+        env_color=jnp.asarray(hs.env_color, jnp.float32),
+        cam_from_raster=camera_from_raster(
+            cam.focal_length_mm, cam.sensor_height_mm, cam.width, cam.height
+        ),
+        world_from_cam=world_from_camera(cam.direction, cam.position),
+    )
