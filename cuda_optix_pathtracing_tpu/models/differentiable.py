@@ -30,11 +30,11 @@ def inject_params(scene: Scene, params: dict) -> Scene:
     """Return a scene with optimizable parameters swapped in.
 
     Supported keys: ``albedo`` (M,3), ``light_color`` (L,3),
-    ``env_color`` (3,).
+    ``env_image`` (H,W,3 — the envmap texels themselves).
     """
     materials = scene.materials
     lights = scene.lights
-    env = scene.env_color
+    env = scene.env
     if "albedo" in params:
         materials = materials._replace(albedo=params["albedo"])
     if "refl_tint" in params:
@@ -43,9 +43,11 @@ def inject_params(scene: Scene, params: dict) -> Scene:
         materials = materials._replace(trans_tint=params["trans_tint"])
     if "light_color" in params:
         lights = lights._replace(color=params["light_color"])
-    if "env_color" in params:
-        env = params["env_color"]
-    return scene._replace(materials=materials, lights=lights, env_color=env)
+    if "env_image" in params:
+        # texels are optimizable; the sampling table stays fixed (detached
+        # importance distribution — keeps the estimator's pdfs constant)
+        env = env._replace(image=params["env_image"])
+    return scene._replace(materials=materials, lights=lights, env=env)
 
 
 def init_params(scene: Scene, keys=("albedo",)) -> dict:
@@ -54,7 +56,7 @@ def init_params(scene: Scene, keys=("albedo",)) -> dict:
         refl_tint=scene.materials.refl_tint,
         trans_tint=scene.materials.trans_tint,
         light_color=scene.lights.color,
-        env_color=scene.env_color,
+        env_image=scene.env.image,
     )
     return {k: src[k] for k in keys}
 

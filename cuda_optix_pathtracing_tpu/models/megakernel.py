@@ -38,8 +38,10 @@ from jax import lax
 from ..ops import rng as R
 from ..ops.bsdf import sample_bsdf, eval_bsdf
 from ..ops.camera import generate_rays, pixel_centers
+from ..ops.envmap import eval_envmap, sample_envmap
 from ..ops.film import Film, film_add_sample, film_new
 from ..ops.intersect import intersect_any, intersect_closest
+from ..ops.intersect_pallas import intersect_any_pallas, intersect_closest_pallas
 from ..ops.lights import eval_light, sample_light
 from ..ops.vecmath import max_component, offset_ray_origin, sqr
 from ..scene.types import Scene
@@ -52,7 +54,39 @@ class MegakernelConfig:
     sampler: str = "hash"  # "hash" | "halton"
     seed: int = 0
     remat: bool = True  # recompute bounces in backward (path replay)
-    tri_chunk: int = 128
+    tri_chunk: int = 32
+    env_nee: bool = False  # importance-sample the envmap each bounce (MIS'd
+    # against the miss shader; the Gen-1 evalTile env strategy,
+    # core-render.cpp:285-316). Off = reference megakernel behaviour.
+    backend: str = "auto"  # "auto" | "xla" | "pallas" intersection kernels
+
+
+def _use_pallas(cfg: "MegakernelConfig") -> bool:
+    if cfg.backend == "pallas":
+        return True
+    if cfg.backend == "xla":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _closest(scene: Scene, cfg, o, d):
+    if _use_pallas(cfg):
+        return intersect_closest_pallas(
+            o, d, scene.tri_v0, scene.tri_e0, scene.tri_e1
+        )
+    return intersect_closest(
+        o, d, scene.tri_v0, scene.tri_e0, scene.tri_e1, chunk=cfg.tri_chunk
+    )
+
+
+def _any(scene: Scene, cfg, o, d, t_max):
+    if _use_pallas(cfg):
+        return intersect_any_pallas(
+            o, d, scene.tri_v0, scene.tri_e0, scene.tri_e1, t_max
+        )
+    return intersect_any(
+        o, d, scene.tri_v0, scene.tri_e0, scene.tri_e1, t_max, chunk=cfg.tri_chunk
+    )
 
 
 class PathState(NamedTuple):
@@ -63,9 +97,11 @@ class PathState(NamedTuple):
     alive: jnp.ndarray  # (N,)
     inside: jnp.ndarray  # (N,) odd transmission count
     eta_scale: jnp.ndarray  # (N,) ∏ η² for roulette
+    prev_pdf: jnp.ndarray  # (N,) bsdf pdf of the last bounce (env MIS)
+    prev_delta: jnp.ndarray  # (N,) last bounce was specular
 
 
-def _nee(scene: Scene, sampler: R.Sampler, px, py, sample, depth_dim, hit, wo, inside):
+def _nee(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, wo, inside):
     """Next-event estimation at the hit points; returns (N,3) contribution."""
     n_lights = scene.num_lights
     ul = sampler.sample_1d(px, py, sample, depth_dim + R.Dim.LIGHT_SELECT)
@@ -77,14 +113,7 @@ def _nee(scene: Scene, sampler: R.Sampler, px, py, sample, depth_dim, hit, wo, i
     ls = sample_light(lt, hit.pos, u1, u2, jnp.zeros_like(inside), hit.normal)
 
     shadow_o = offset_ray_origin(hit.pos, hit.error, hit.normal, ls.direction)
-    occluded = intersect_any(
-        shadow_o,
-        ls.direction,
-        scene.tri_v0,
-        scene.tri_e0,
-        scene.tri_e1,
-        t_max=ls.distance,
-    )
+    occluded = _any(scene, cfg, shadow_o, ls.direction, ls.distance)
 
     f_cos, bsdf_pdf = eval_bsdf(
         scene.materials.gather(scene.tri_mat[hit.tri]),
@@ -105,6 +134,27 @@ def _nee(scene: Scene, sampler: R.Sampler, px, py, sample, depth_dim, hit, wo, i
     # power-heuristic w≈1 and likewise never divides by the cone pdf.)
     contrib = le * f_cos / pmf
     ok = (ls.pdf > 0.0) & ~occluded
+    return jnp.where(ok[..., None], contrib, 0.0)
+
+
+def _nee_env(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, wo, inside):
+    """Envmap next-event estimation with MIS against BSDF sampling
+    (Gen-1 evalTile env strategy, core-render.cpp:285-370)."""
+    u1, u2 = sampler.sample_2d(px, py, sample, depth_dim + R.Dim.ENV_U)
+    d_env, le, pdf_env = sample_envmap(scene.env, u1, u2)
+    shadow_o = offset_ray_origin(hit.pos, hit.error, hit.normal, d_env)
+    occluded = _any(scene, cfg, shadow_o, d_env, 3.0e38)
+    f_cos, bsdf_pdf = eval_bsdf(
+        scene.materials.gather(scene.tri_mat[hit.tri]),
+        wo,
+        d_env,
+        hit.normal,
+        hit.normal,
+        inside,
+    )
+    w = sqr(pdf_env) / jnp.maximum(sqr(pdf_env) + sqr(bsdf_pdf), 1e-24)
+    contrib = le * f_cos * (w / jnp.maximum(pdf_env, 1e-12))[..., None]
+    ok = (pdf_env > 0.0) & ~occluded
     return jnp.where(ok[..., None], contrib, 0.0)
 
 
@@ -133,31 +183,41 @@ def trace_paths(
         alive=jnp.ones((n,), bool),
         inside=jnp.zeros((n,), bool),
         eta_scale=jnp.ones((n,), jnp.float32),
+        prev_pdf=jnp.zeros((n,), jnp.float32),
+        prev_delta=jnp.ones((n,), bool),  # camera "bounce" counts as delta
     )
 
     def bounce(depth, state: PathState) -> PathState:
         depth_dim = depth * R.DIMS_PER_BOUNCE
-        hit = intersect_closest(
-            state.o,
-            state.d,
-            scene.tri_v0,
-            scene.tri_e0,
-            scene.tri_e1,
-            chunk=cfg.tri_chunk,
-        )
+        hit = _closest(scene, cfg, state.o, state.d)
 
-        # miss → constant environment, path dies (megakernel.cu:135-151);
-        # NEE never samples the env here so the full weight is unbiased.
+        # miss → environment, path dies (megakernel.cu:135-151). When the
+        # env is also NEE-sampled, MIS-weight against the previous bounce's
+        # bsdf pdf; pure-delta prefixes keep full weight.
         miss = state.alive & ~hit.hit
+        le_env, pdf_env_of_d = eval_envmap(scene.env, state.d)
+        if cfg.env_nee:
+            w_env = jnp.where(
+                state.prev_delta,
+                1.0,
+                sqr(state.prev_pdf)
+                / jnp.maximum(sqr(state.prev_pdf) + sqr(pdf_env_of_d), 1e-24),
+            )
+        else:
+            w_env = jnp.ones((n,), jnp.float32)
         radiance = state.radiance + jnp.where(
-            miss[..., None], state.beta * scene.env_color, 0.0
+            miss[..., None], state.beta * le_env * w_env[..., None], 0.0
         )
         alive = state.alive & hit.hit
 
         wo = -state.d
         nee = _nee(
-            scene, sampler, px, py, sample, depth_dim, hit, wo, state.inside
+            scene, cfg, sampler, px, py, sample, depth_dim, hit, wo, state.inside
         )
+        if cfg.env_nee:
+            nee = nee + _nee_env(
+                scene, cfg, sampler, px, py, sample, depth_dim, hit, wo, state.inside
+            )
         radiance = radiance + jnp.where(
             alive[..., None], state.beta * nee, 0.0
         )
@@ -197,6 +257,8 @@ def trace_paths(
             alive=alive,
             inside=inside,
             eta_scale=eta_scale,
+            prev_pdf=jnp.where(alive, bs.pdf, state.prev_pdf),
+            prev_delta=jnp.where(alive, bs.delta, state.prev_delta),
         )
 
     # Python-unrolled depth loop: keeps RNG dimensions static (required for

@@ -341,7 +341,9 @@ def ggx_energy_tables():
     cgrid = np.linspace(0.0, 1.0, res)
     eavg = 2.0 * np.trapezoid(e * cgrid[:, None], cgrid, axis=0)
     eavg = np.clip(eavg, 1e-3, 1.0)
-    return jnp.asarray(e, jnp.float32), jnp.asarray(eavg, jnp.float32)
+    # cache *numpy* arrays — caching jnp arrays here would leak tracers when
+    # the first call happens inside a jit trace
+    return e.astype(np.float32), eavg.astype(np.float32)
 
 
 def _np_concentric_disk(u1, u2):
@@ -364,7 +366,7 @@ def _np_ggx_lambda(alpha2, cos_n):
 
 def lookup_e(alpha2, cos_no):
     """Bilinear E table lookup, clamped."""
-    e, _ = ggx_energy_tables()
+    e = jnp.asarray(ggx_energy_tables()[0])
     res = E_TABLE_RES
     x = jnp.clip(alpha2, 0.0, 1.0) * (res - 1)
     y = jnp.clip(cos_no, 0.0, 1.0) * (res - 1)
@@ -380,7 +382,7 @@ def lookup_e(alpha2, cos_no):
 
 
 def lookup_eavg(alpha2):
-    _, eavg = ggx_energy_tables()
+    eavg = jnp.asarray(ggx_energy_tables()[1])
     res = E_TABLE_RES
     x = jnp.clip(alpha2, 0.0, 1.0) * (res - 1)
     x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, res - 1)

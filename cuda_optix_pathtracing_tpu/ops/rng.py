@@ -45,9 +45,10 @@ class Dim(enum.IntEnum):
     BSDF_UC = 7  # 1 dim: bsdf lobe choice
     RR = 8  # 1 dim: russian roulette
     ENV_SELECT = 9  # 1 dim: infinite-light index on miss
+    ENV_U = 10  # 2 dims: envmap NEE importance sample
 
 
-DIMS_PER_BOUNCE = 10
+DIMS_PER_BOUNCE = 12
 
 
 def _u32(x):

@@ -90,6 +90,7 @@ def render_sharded(
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis)),
         out_specs=(P(axis), P(axis)),
+        check_vma=False,  # scan carries start as replicated constants
     )(scene, px, py)
     return Film(
         mean.reshape(height, width, 3),
@@ -151,6 +152,7 @@ def train_step_sharded(
             mesh=mesh,
             in_specs=(P(), P(axis), P(axis), P(axis), P()),
             out_specs=(P(), P()),
+            check_vma=False,  # scan carries start as replicated constants
         )(params, px_all, py_all, target_flat, sample_offset)
         updates, opt_state = opt_update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)

@@ -1,0 +1,265 @@
+"""JSON scene parser — the reference's scene schema (core-parser.cpp:1344,
+scenes/scene_example.json):
+
+    camera{focalLength,sensorSize,direction,max-depth}
+    film{resolutionX,resolutionY,samples}
+    textures[] materials[] objects[] lights[] envlight
+    transforms[] (SRT)  world{transform: {instances:[], lights:[]}}
+
+Key validation is strict like the reference (unknown keys raise). Material
+mapping to our BSDF set:
+
+    metallic ≥ 0.5                  → GGX conductor (F0 from `diffuse`)
+    "ggx-dielectric" block present  → GGX dielectric (ior, tints, roughness)
+    otherwise                       → Oren-Nayar (σ = roughness·π/2)
+
+Lights are positioned/oriented by the world-section SRT transform applied
+to the canonical pose (origin, direction (0,0,-1)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..ops import bsdf as B
+from ..ops import lights as L
+from ..ops.camera import CameraConfig
+from . import meshio, procedural
+from .types import HostScene, Scene, scene_from_host
+
+_CAMERA_KEYS = {"focalLength", "sensorSize", "direction", "max-depth", "position"}
+_FILM_KEYS = {"resolutionX", "resolutionY", "samples"}
+_MATERIAL_KEYS = {
+    "name", "diffuse", "normal", "metallic", "roughness", "ior",
+    "ggx-anisotropy", "ggx-dielectric", "oren-nayar-multiscatter",
+}
+_OBJECT_KEYS = {"name", "type", "shape", "path", "material"}
+_LIGHT_KEYS = {
+    "name", "type", "cone-angle", "falloff-percentage", "radiant-intensity",
+    "radius", "direction",
+}
+_TRANSFORM_KEYS = {"name", "srt"}
+_SRT_KEYS = {"translation-vector", "rotate-axis", "rotate-degrees", "scale"}
+
+
+class SceneParseError(ValueError):
+    pass
+
+
+def _check_keys(obj: dict, allowed: set, ctx: str):
+    for k in obj:
+        if k not in allowed:
+            raise SceneParseError(f"unknown key '{k}' in {ctx}")
+
+
+@dataclass
+class ParsedScene:
+    width: int
+    height: int
+    spp: int
+    max_depth: int
+    envlight_path: str | None
+
+
+def _srt_matrix(srt: dict) -> np.ndarray:
+    _check_keys(srt, _SRT_KEYS, "transform.srt")
+    m = np.eye(4)
+    if "scale" in srt:
+        s = np.broadcast_to(np.asarray(srt["scale"], float), (3,))
+        m[:3, :3] = np.diag(s)
+    if "rotate-axis" in srt:
+        axis = np.asarray(srt["rotate-axis"], float)
+        axis = axis / np.linalg.norm(axis)
+        ang = np.deg2rad(float(srt.get("rotate-degrees", 0.0)))
+        c, s_ = np.cos(ang), np.sin(ang)
+        x, y, z = axis
+        r = np.array(
+            [
+                [c + x * x * (1 - c), x * y * (1 - c) - z * s_, x * z * (1 - c) + y * s_],
+                [y * x * (1 - c) + z * s_, c + y * y * (1 - c), y * z * (1 - c) - x * s_],
+                [z * x * (1 - c) - y * s_, z * y * (1 - c) + x * s_, c + z * z * (1 - c)],
+            ]
+        )
+        m[:3, :3] = r @ m[:3, :3]
+    if "translation-vector" in srt:
+        m[:3, 3] = np.asarray(srt["translation-vector"], float)
+    return m
+
+
+def _material_from_json(mj: dict) -> dict:
+    _check_keys(mj, _MATERIAL_KEYS, f"material '{mj.get('name')}'")
+    diffuse = mj.get("diffuse", (0.8, 0.8, 0.8))
+    if isinstance(diffuse, str):
+        # texture reference — texturing resolved by the caller (tier 2);
+        # fall back to mid-gray constant here
+        diffuse = (0.8, 0.8, 0.8)
+    roughness = mj.get("roughness", 0.5)
+    if isinstance(roughness, str):
+        roughness = 0.5
+    metallic = float(mj.get("metallic", 0.0))
+    aniso = float(mj.get("ggx-anisotropy", 0.0))
+    alpha = float(roughness) ** 2
+    ax = alpha * (1.0 + aniso)
+    ay = alpha * max(1.0 - aniso, 1e-3)
+    if metallic >= 0.5:
+        f0 = np.clip(np.asarray(diffuse, float), 1e-3, 0.999)
+        eta = (1.0 + np.sqrt(f0)) / (1.0 - np.sqrt(f0))
+        return B.ggx_conductor(eta, (0.0, 0.0, 0.0), 0.0, ax, ay)
+    if "ggx-dielectric" in mj:
+        g = mj["ggx-dielectric"]
+        _check_keys(
+            g, {"reflectance-tint", "transmittance-tint"}, "ggx-dielectric"
+        )
+        return B.ggx_dielectric(
+            g.get("reflectance-tint", (1.0, 1.0, 1.0)),
+            g.get("transmittance-tint", (0.0, 0.0, 0.0)),
+            0.0,
+            float(mj.get("ior", 1.5)),
+            ax,
+            ay,
+        )
+    sigma = float(roughness) * np.pi / 2.0
+    return B.oren_nayar(diffuse, sigma)
+
+
+def _object_triangles(oj: dict, base_dir: str) -> list:
+    _check_keys(oj, _OBJECT_KEYS, f"object '{oj.get('name')}'")
+    otype = oj.get("type", "primitive")
+    if otype == "primitive":
+        shape = oj.get("shape", "cube")
+        if shape == "cube":
+            return procedural.generate_cube((0.0, 0.0, 0.0), (1.0, 1.0, 1.0))
+        if shape == "plane":
+            return procedural.generate_plane((0, 0, 0), (0, 0, 1), 1.0, 1.0)
+        if shape == "sphere":
+            return procedural.generate_sphere((0.0, 0.0, 0.0), 0.5, 8, 16)
+        raise SceneParseError(f"unknown primitive shape '{shape}'")
+    if otype.upper() == "FBX" or otype.lower() in ("obj", "mesh"):
+        path = oj["path"]
+        if not os.path.isabs(path):
+            path = os.path.join(base_dir, path)
+        return list(meshio.load_mesh(path))
+    raise SceneParseError(f"unknown object type '{otype}'")
+
+
+def _light_from_json(lj: dict, transform: np.ndarray | None) -> dict:
+    _check_keys(lj, _LIGHT_KEYS, f"light '{lj.get('name')}'")
+    color = tuple(lj.get("radiant-intensity", (1.0, 1.0, 1.0)))
+    m = transform if transform is not None else np.eye(4)
+    pos = tuple((m @ np.array([0.0, 0.0, 0.0, 1.0]))[:3])
+    direction = tuple((m[:3, :3] @ np.array([0.0, 0.0, -1.0])))
+    radius = float(lj.get("radius", 1e-3))
+    ltype = lj.get("type", "point")
+    if ltype == "point":
+        return L.point_light(color, pos, radius)
+    if ltype == "spot":
+        cone_deg = float(lj.get("cone-angle", 60.0))
+        falloff = float(lj.get("falloff-percentage", 10.0)) / 100.0
+        theta_e = np.deg2rad(cone_deg) / 2.0
+        theta_0 = theta_e * (1.0 - falloff)
+        return L.spot_light(
+            color, pos, direction, float(np.cos(theta_0)), float(np.cos(theta_e)), radius
+        )
+    if ltype == "directional":
+        return L.directional_light(color, direction)
+    if ltype in ("env", "environment"):
+        return L.environment_light(color)
+    raise SceneParseError(f"unknown light type '{ltype}'")
+
+
+def parse_scene(path: str) -> tuple[HostScene, ParsedScene]:
+    """Parse the JSON scene into a HostScene + render settings."""
+    base_dir = os.path.dirname(os.path.abspath(path))
+    with open(path) as f:
+        doc = json.load(f)
+
+    cam_j = doc.get("camera", {})
+    _check_keys(cam_j, _CAMERA_KEYS, "camera")
+    film_j = doc.get("film", {})
+    _check_keys(film_j, _FILM_KEYS, "film")
+    width = int(film_j.get("resolutionX", 256))
+    height = int(film_j.get("resolutionY", 256))
+
+    hs = HostScene()
+    hs.camera = CameraConfig(
+        position=tuple(cam_j.get("position", (0.0, 0.0, 0.0))),
+        direction=tuple(cam_j.get("direction", (0.0, 1.0, 0.0))),
+        width=width,
+        height=height,
+        focal_length_mm=float(cam_j.get("focalLength", 20.0)),
+        sensor_height_mm=float(cam_j.get("sensorSize", 36.0)),
+    )
+
+    mat_ids = {}
+    for mj in doc.get("materials", []):
+        mat_ids[mj["name"]] = hs.add_material(_material_from_json(mj))
+    if not mat_ids:
+        mat_ids["__default"] = hs.add_material(B.oren_nayar((0.8, 0.8, 0.8), 0.3))
+
+    objects = {oj["name"]: oj for oj in doc.get("objects", [])}
+    lights = {lj["name"]: lj for lj in doc.get("lights", [])}
+    transforms = {}
+    for tj in doc.get("transforms", []):
+        _check_keys(tj, _TRANSFORM_KEYS, f"transform '{tj.get('name')}'")
+        transforms[tj["name"]] = _srt_matrix(tj["srt"])
+
+    world = doc.get("world", {})
+    placed_lights = set()
+    for tname, binding in world.items():
+        m = transforms.get(tname)
+        if m is None:
+            raise SceneParseError(f"world references unknown transform '{tname}'")
+        for oname in binding.get("instances", []):
+            oj = objects.get(oname)
+            if oj is None:
+                raise SceneParseError(f"world references unknown object '{oname}'")
+            tris = _object_triangles(oj, base_dir)
+            mat = mat_ids[oj.get("material", next(iter(mat_ids)))]
+            for t in tris:
+                th = np.concatenate([t, np.ones((3, 1), np.float32)], axis=1)
+                hs.triangles.append((th @ m.T)[:, :3].astype(np.float32))
+                hs.tri_mat.append(mat)
+        for lname in binding.get("lights", []):
+            lj = lights.get(lname)
+            if lj is None:
+                raise SceneParseError(f"world references unknown light '{lname}'")
+            hs.add_light(_light_from_json(lj, m))
+            placed_lights.add(lname)
+    # lights not placed by the world section sit at their canonical pose
+    for lname, lj in lights.items():
+        if lname not in placed_lights:
+            hs.add_light(_light_from_json(lj, None))
+
+    envlight = doc.get("envlight")
+    if envlight is not None and not isinstance(envlight, str):
+        raise SceneParseError("envlight must be an image path")
+    if envlight:
+        env_path = envlight if os.path.isabs(envlight) else os.path.join(base_dir, envlight)
+        if os.path.exists(env_path) and env_path.lower().endswith(".png"):
+            from ..utils.imageio import read_png, srgb_to_linear
+
+            img = read_png(env_path)
+            hs.env_image = srgb_to_linear(img[..., :3])
+        else:
+            # unsupported format (e.g. .exr) → dim constant fallback
+            hs.env_color = (0.05, 0.05, 0.05)
+
+    parsed = ParsedScene(
+        width=width,
+        height=height,
+        spp=int(film_j.get("samples", 0)),
+        max_depth=int(cam_j.get("max-depth", 0)),
+        envlight_path=(
+            os.path.join(base_dir, envlight) if envlight else None
+        ),
+    )
+    return hs, parsed
+
+
+def load_scene(path: str) -> tuple[Scene, ParsedScene]:
+    hs, parsed = parse_scene(path)
+    return scene_from_host(hs), parsed

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.bsdf import MaterialTable, make_material_table
+from ..ops.envmap import EnvMap, constant_envmap, make_envmap
 from ..ops.lights import LightTable, make_light_table
 from ..ops.camera import CameraConfig, camera_from_raster, world_from_camera
 
@@ -28,7 +29,7 @@ class Scene(NamedTuple):
     tri_mat: jnp.ndarray  # (T,) i32 material id
     materials: MaterialTable
     lights: LightTable  # finite lights (NEE targets)
-    env_color: jnp.ndarray  # (3,) constant environment radiance
+    env: EnvMap  # environment light (constant color = 1-px-wide map)
     cam_from_raster: jnp.ndarray  # (4,4)
     world_from_cam: jnp.ndarray  # (4,4)
 
@@ -51,6 +52,8 @@ class HostScene:
     materials: list = field(default_factory=list)  # bsdf factory dicts
     lights: list = field(default_factory=list)  # light factory dicts
     env_color: tuple = (0.0, 0.0, 0.0)
+    env_image: object = None  # (H,W,3) radiance array; overrides env_color
+    env_rotation: object = None  # (3,3)
     camera: CameraConfig = field(default_factory=CameraConfig)
 
     def add_model(self, tris: Sequence, mat_id: int):
@@ -71,6 +74,10 @@ def scene_from_host(hs: HostScene) -> Scene:
     cam = hs.camera
     # NEE needs ≥1 light row; a zero-intensity point light is a no-op filler
     lights = hs.lights if hs.lights else [dict(ltype=0, color=(0.0, 0.0, 0.0))]
+    if hs.env_image is not None:
+        env = make_envmap(hs.env_image, hs.env_rotation)
+    else:
+        env = constant_envmap(hs.env_color)
     return Scene(
         tri_v0=jnp.asarray(tris[:, 0]),
         tri_e0=jnp.asarray(tris[:, 1] - tris[:, 0]),
@@ -78,7 +85,7 @@ def scene_from_host(hs: HostScene) -> Scene:
         tri_mat=jnp.asarray(hs.tri_mat, jnp.int32),
         materials=make_material_table(hs.materials),
         lights=make_light_table(lights),
-        env_color=jnp.asarray(hs.env_color, jnp.float32),
+        env=env,
         cam_from_raster=camera_from_raster(
             cam.focal_length_mm, cam.sensor_height_mm, cam.width, cam.height
         ),
