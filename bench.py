@@ -25,11 +25,14 @@ def main():
         render_progressive,
     )
     from cuda_optix_pathtracing_tpu.ops.film import film_new
+    from cuda_optix_pathtracing_tpu.ops.bsdf import mat_features_from_table
 
     width = height = 256
     kspp = 8
-    cfg = MegakernelConfig(max_depth=5, remat=False)
     scene = cornell_box(width, height)
+    cfg = MegakernelConfig(
+        max_depth=5, remat=False, features=mat_features_from_table(scene.materials)
+    )
     film = film_new(height, width)
 
     # warmup / compile

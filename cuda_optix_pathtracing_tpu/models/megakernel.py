@@ -36,10 +36,11 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops import rng as R
-from ..ops.bsdf import sample_bsdf, eval_bsdf
+from ..ops.bsdf import ALL_FEATURES, MatFeatures, eval_bsdf, sample_bsdf
 from ..ops.camera import generate_rays, pixel_centers
 from ..ops.envmap import eval_envmap, sample_envmap
 from ..ops.film import Film, film_add_sample, film_new
+from ..ops.gather import onehot_gather
 from ..ops.intersect import intersect_any, intersect_closest
 from ..ops.intersect_pallas import intersect_any_pallas, intersect_closest_pallas
 from ..ops.lights import eval_light, sample_light
@@ -59,6 +60,9 @@ class MegakernelConfig:
     # against the miss shader; the Gen-1 evalTile env strategy,
     # core-render.cpp:285-316). Off = reference megakernel behaviour.
     backend: str = "auto"  # "auto" | "xla" | "pallas" intersection kernels
+    features: MatFeatures = ALL_FEATURES  # static material-lobe set; derive
+    # from the scene with bsdf.mat_features_from_table for specialized
+    # (faster) compiled code
 
 
 def _use_pallas(cfg: "MegakernelConfig") -> bool:
@@ -101,7 +105,7 @@ class PathState(NamedTuple):
     prev_delta: jnp.ndarray  # (N,) last bounce was specular
 
 
-def _nee(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, wo, inside):
+def _nee(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, mat, wo, inside):
     """Next-event estimation at the hit points; returns (N,3) contribution."""
     n_lights = scene.num_lights
     ul = sampler.sample_1d(px, py, sample, depth_dim + R.Dim.LIGHT_SELECT)
@@ -116,12 +120,7 @@ def _nee(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, 
     occluded = _any(scene, cfg, shadow_o, ls.direction, ls.distance)
 
     f_cos, bsdf_pdf = eval_bsdf(
-        scene.materials.gather(scene.tri_mat[hit.tri]),
-        wo,
-        ls.direction,
-        hit.normal,
-        hit.normal,
-        inside,
+        mat, wo, ls.direction, hit.normal, hit.normal, inside, ft=cfg.features
     )
     le = eval_light(lt, ls)
 
@@ -137,7 +136,7 @@ def _nee(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, 
     return jnp.where(ok[..., None], contrib, 0.0)
 
 
-def _nee_env(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, wo, inside):
+def _nee_env(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, mat, wo, inside):
     """Envmap next-event estimation with MIS against BSDF sampling
     (Gen-1 evalTile env strategy, core-render.cpp:285-370)."""
     u1, u2 = sampler.sample_2d(px, py, sample, depth_dim + R.Dim.ENV_U)
@@ -145,12 +144,7 @@ def _nee_env(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, h
     shadow_o = offset_ray_origin(hit.pos, hit.error, hit.normal, d_env)
     occluded = _any(scene, cfg, shadow_o, d_env, 3.0e38)
     f_cos, bsdf_pdf = eval_bsdf(
-        scene.materials.gather(scene.tri_mat[hit.tri]),
-        wo,
-        d_env,
-        hit.normal,
-        hit.normal,
-        inside,
+        mat, wo, d_env, hit.normal, hit.normal, inside, ft=cfg.features
     )
     w = sqr(pdf_env) / jnp.maximum(sqr(pdf_env) + sqr(bsdf_pdf), 1e-24)
     contrib = le * f_cos * (w / jnp.maximum(pdf_env, 1e-12))[..., None]
@@ -211,12 +205,15 @@ def trace_paths(
         alive = state.alive & hit.hit
 
         wo = -state.d
+        # one material fetch per bounce (one-hot MXU gathers, ops/gather.py),
+        # shared by NEE evaluation and the bounce sample
+        mat = scene.materials.gather(onehot_gather(scene.tri_mat, hit.tri))
         nee = _nee(
-            scene, cfg, sampler, px, py, sample, depth_dim, hit, wo, state.inside
+            scene, cfg, sampler, px, py, sample, depth_dim, hit, mat, wo, state.inside
         )
         if cfg.env_nee:
             nee = nee + _nee_env(
-                scene, cfg, sampler, px, py, sample, depth_dim, hit, wo, state.inside
+                scene, cfg, sampler, px, py, sample, depth_dim, hit, mat, wo, state.inside
             )
         radiance = radiance + jnp.where(
             alive[..., None], state.beta * nee, 0.0
@@ -225,8 +222,10 @@ def trace_paths(
         # bounce
         u1, u2 = sampler.sample_2d(px, py, sample, depth_dim + R.Dim.BSDF_U)
         uc = sampler.sample_1d(px, py, sample, depth_dim + R.Dim.BSDF_UC)
-        mat = scene.materials.gather(scene.tri_mat[hit.tri])
-        bs = sample_bsdf(mat, wo, hit.normal, hit.normal, u1, u2, uc, state.inside)
+        bs = sample_bsdf(
+            mat, wo, hit.normal, hit.normal, u1, u2, uc, state.inside,
+            ft=cfg.features,
+        )
 
         valid = bs.pdf > 0.0
         beta = state.beta * jnp.where(

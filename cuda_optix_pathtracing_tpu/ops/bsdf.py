@@ -27,6 +27,7 @@ Type codes match the reference enum (bsdf.cuh:11-16).
 from __future__ import annotations
 
 import functools
+from dataclasses import dataclass
 from typing import NamedTuple, Sequence
 
 import jax.numpy as jnp
@@ -55,6 +56,76 @@ GGX_DIELECTRIC = 1
 GGX_CONDUCTOR = 2
 LAMBERT = 3
 
+
+@dataclass(frozen=True)
+class MatFeatures:
+    """Static (compile-time) description of which material lobes a scene
+    uses. The dispatchers drop the code for absent lobes entirely — the
+    TPU-idiomatic equivalent of the reference's per-thread tagged-union
+    dispatch (bsdf.cuh:108-112), where absent types simply never execute.
+    """
+
+    oren_nayar: bool = True
+    lambert: bool = True
+    ggx: bool = True
+    conductor: bool = True
+    transmission: bool = True
+    aniso: bool = True
+
+    @property
+    def diffuse(self) -> bool:
+        return self.oren_nayar or self.lambert
+
+
+ALL_FEATURES = MatFeatures()
+
+
+def mat_features_from_table(t: "MaterialTable") -> MatFeatures:
+    """Derive the static feature set from a concrete (non-traced) device
+    table — call OUTSIDE jit, e.g. when building the render config."""
+    mtype = np.asarray(t.mtype)
+    types = set(mtype.tolist())
+    ggx_rows = np.isin(mtype, (GGX_DIELECTRIC, GGX_CONDUCTOR))
+    ax = np.asarray(t.alphax)[ggx_rows]
+    ay = np.asarray(t.alphay)[ggx_rows]
+    diel_rows = mtype == GGX_DIELECTRIC
+    has_trans = bool(
+        np.any(np.max(np.asarray(t.trans_tint)[diel_rows], axis=-1, initial=0.0) > THROUGHPUT_EPS)
+    )
+    return MatFeatures(
+        oren_nayar=OREN_NAYAR in types,
+        lambert=LAMBERT in types,
+        ggx=bool(ggx_rows.any()),
+        conductor=GGX_CONDUCTOR in types,
+        transmission=has_trans,
+        aniso=bool(np.any(np.abs(ax - ay) > 1e-6)),
+    )
+
+
+def mat_features(materials: Sequence[dict]) -> MatFeatures:
+    """Derive the static feature set from host-side material dicts."""
+    types = {m.get("mtype", LAMBERT) for m in materials}
+    ggx_mats = [
+        m for m in materials if m.get("mtype") in (GGX_DIELECTRIC, GGX_CONDUCTOR)
+    ]
+    has_trans = any(
+        m.get("mtype") == GGX_DIELECTRIC
+        and float(np.max(np.asarray(m.get("trans_tint", (0.0,) * 3)))) > THROUGHPUT_EPS
+        for m in materials
+    )
+    has_aniso = any(
+        abs(float(m.get("alphax", 0.5)) - float(m.get("alphay", 0.5))) > 1e-6
+        for m in ggx_mats
+    )
+    return MatFeatures(
+        oren_nayar=OREN_NAYAR in types,
+        lambert=LAMBERT in types,
+        ggx=bool(ggx_mats),
+        conductor=GGX_CONDUCTOR in types,
+        transmission=has_trans,
+        aniso=has_aniso,
+    )
+
 DELTA_ALPHA = 1e-3  # below this roughness GGX is treated as specular
 THROUGHPUT_EPS = 1e-6
 
@@ -75,7 +146,9 @@ class MaterialTable(NamedTuple):
     cond_k: jnp.ndarray  # (M,3)
 
     def gather(self, idx):
-        return MaterialTable(*(f[idx] for f in self))
+        from .gather import onehot_gather_pytree
+
+        return onehot_gather_pytree(self, idx)
 
 
 def oren_nayar(color, roughness: float) -> dict:
@@ -364,33 +437,59 @@ def _np_ggx_lambda(alpha2, cos_n):
     return 0.5 * (np.sqrt(1.0 + s) - 1.0)
 
 
-def lookup_e(alpha2, cos_no):
-    """Bilinear E table lookup, clamped."""
-    e = jnp.asarray(ggx_energy_tables()[0])
+@functools.lru_cache(maxsize=1)
+def _e_poly_coeffs(deg: int = 6):
+    """Least-squares 2D polynomial fit of E(cosθo, α²) and 1D fit of Eavg.
+
+    Table lookups are gathers — slow on TPU — so the energy tables are
+    compressed into tensor-product polynomials evaluated on the VPU
+    (pure FMA chains). Max fit error on the 32×32 grid ≈ 1e-2, well inside
+    the tolerance of a multiple-scattering compensation term.
+    """
+    e, eavg = ggx_energy_tables()
     res = E_TABLE_RES
-    x = jnp.clip(alpha2, 0.0, 1.0) * (res - 1)
-    y = jnp.clip(cos_no, 0.0, 1.0) * (res - 1)
-    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, res - 1)
-    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, res - 1)
-    x1 = jnp.minimum(x0 + 1, res - 1)
-    y1 = jnp.minimum(y0 + 1, res - 1)
-    fx = x - x0
-    fy = y - y0
-    v00, v01 = e[y0, x0], e[y0, x1]
-    v10, v11 = e[y1, x0], e[y1, x1]
-    return lerp(lerp(v00, v01, fx), lerp(v10, v11, fx), fy)
+    c = np.linspace(0.0, 1.0, res)
+    a = np.linspace(0.0, 1.0, res)
+    cc, aa = np.meshgrid(c, a, indexing="ij")  # e is (cos_idx, alpha_idx)
+    basis = np.stack(
+        [cc.ravel() ** i * aa.ravel() ** j for i in range(deg + 1) for j in range(deg + 1)],
+        axis=1,
+    )
+    coef2d, *_ = np.linalg.lstsq(basis, e.ravel(), rcond=None)
+    basis1 = np.stack([a**i for i in range(deg + 1)], axis=1)
+    coef1d, *_ = np.linalg.lstsq(basis1, eavg, rcond=None)
+    return (
+        coef2d.reshape(deg + 1, deg + 1).astype(np.float32),
+        coef1d.astype(np.float32),
+        deg,
+    )
+
+
+def lookup_e(alpha2, cos_no):
+    """E(cosθo, α²) via the polynomial fit (no gathers)."""
+    coef2d, _, deg = _e_poly_coeffs()
+    x = jnp.clip(cos_no, 0.0, 1.0)
+    y = jnp.clip(alpha2, 0.0, 1.0)
+    # Horner in y inside Horner in x
+    acc = jnp.zeros_like(x)
+    for i in range(deg, -1, -1):
+        row = jnp.zeros_like(x)
+        for j in range(deg, -1, -1):
+            row = row * y + coef2d[i, j]
+        acc = acc * x + row
+    return jnp.clip(acc, 1e-3, 1.0)
 
 
 def lookup_eavg(alpha2):
-    eavg = jnp.asarray(ggx_energy_tables()[1])
-    res = E_TABLE_RES
-    x = jnp.clip(alpha2, 0.0, 1.0) * (res - 1)
-    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, res - 1)
-    x1 = jnp.minimum(x0 + 1, res - 1)
-    return lerp(eavg[x0], eavg[x1], x - x0)
+    _, coef1d, deg = _e_poly_coeffs()
+    y = jnp.clip(alpha2, 0.0, 1.0)
+    acc = jnp.zeros_like(y)
+    for i in range(deg, -1, -1):
+        acc = acc * y + coef1d[i]
+    return jnp.clip(acc, 1e-3, 1.0)
 
 
-def ggx_multiscatter_factor(mat: MaterialTable, cos_no):
+def ggx_multiscatter_factor(mat: MaterialTable, cos_no, ft: MatFeatures = ALL_FEATURES):
     """(N,3) multiple-scattering multiplier 1 + Fms·(1-E)/E (Kulla–Conty).
 
     Fss estimate per reference prepareBSDF (bsdf.cu:955-990): dielectric
@@ -399,13 +498,18 @@ def ggx_multiscatter_factor(mat: MaterialTable, cos_no):
     alpha2 = mat.alphax * mat.alphay
     e = lookup_e(alpha2, cos_no)
     eavg = lookup_eavg(alpha2)
-    f0 = fresnel_conductor(jnp.ones_like(cos_no), mat.cond_eta, mat.cond_k)
-    f82 = fresnel_conductor(jnp.full_like(cos_no, 1.0 / 7.0), mat.cond_eta, mat.cond_k)
-    b = (lerp(f0, jnp.ones_like(f0), 0.46266436) - f82) * 17.651384
-    fss_cond = lerp(f0, jnp.ones_like(f0), 1.0 / 21.0) - b * (1.0 / 126.0)
-    fss = jnp.where(
-        (mat.mtype == GGX_CONDUCTOR)[..., None], fss_cond, mat.trans_tint
-    )
+    if ft.conductor:
+        f0 = fresnel_conductor(jnp.ones_like(cos_no), mat.cond_eta, mat.cond_k)
+        f82 = fresnel_conductor(
+            jnp.full_like(cos_no, 1.0 / 7.0), mat.cond_eta, mat.cond_k
+        )
+        b = (lerp(f0, jnp.ones_like(f0), 0.46266436) - f82) * 17.651384
+        fss_cond = lerp(f0, jnp.ones_like(f0), 1.0 / 21.0) - b * (1.0 / 126.0)
+        fss = jnp.where(
+            (mat.mtype == GGX_CONDUCTOR)[..., None], fss_cond, mat.trans_tint
+        )
+    else:
+        fss = mat.trans_tint
     missing = (1.0 - e) / e
     fms = fss * eavg[..., None] / jnp.maximum(1.0 - fss * (1.0 - eavg[..., None]), 1e-4)
     return 1.0 + fms * missing[..., None]
@@ -478,10 +582,12 @@ def _eta_for_side(mat_eta, inside):
 
 
 def sample_bsdf(
-    mat: MaterialTable, wo, ns, ng, u1, u2, uc, inside=None
+    mat: MaterialTable, wo, ns, ng, u1, u2, uc, inside=None,
+    ft: MatFeatures = ALL_FEATURES,
 ) -> BsdfSample:
     """Sample all-material SoA batch. ``inside`` masks rays currently inside
-    a dielectric (odd transmission count) — flips eta.
+    a dielectric (odd transmission count) — flips eta. ``ft`` statically
+    drops lobes the scene does not use.
     """
     n = wo.shape[0]
     if inside is None:
@@ -492,112 +598,153 @@ def sample_bsdf(
     cos_no = dot(ns, wo)
 
     # ---------------- diffuse lobes (Lambert / Oren-Nayar) ----------------
-    wi_d, pdf_d = sample_cos_hemisphere(ns, u1, u2)
-    above = dot(ng, wi_d) > 0.0
-    f_on = _oren_nayar_fcos(mat, ns, wo, wi_d)
-    f_lam = mat.albedo * pdf_d[..., None]  # albedo·cos/π
-    f_diff = jnp.where((mat.mtype == OREN_NAYAR)[..., None], f_on, f_lam)
-    f_diff = jnp.where(above[..., None], f_diff, 0.0)
-    pdf_diff = jnp.where(above, pdf_d, 0.0)
+    if ft.diffuse:
+        wi_d, pdf_d = sample_cos_hemisphere(ns, u1, u2)
+        above = dot(ng, wi_d) > 0.0
+        if ft.oren_nayar and ft.lambert:
+            f_on = _oren_nayar_fcos(mat, ns, wo, wi_d)
+            f_lam = mat.albedo * pdf_d[..., None]  # albedo·cos/π
+            f_diff = jnp.where((mat.mtype == OREN_NAYAR)[..., None], f_on, f_lam)
+        elif ft.oren_nayar:
+            f_diff = _oren_nayar_fcos(mat, ns, wo, wi_d)
+        else:
+            f_diff = mat.albedo * pdf_d[..., None]
+        f_diff = jnp.where(above[..., None], f_diff, 0.0)
+        pdf_diff = jnp.where(above, pdf_d, 0.0)
+    else:
+        wi_d = wo
+        f_diff = jnp.zeros((n, 3), jnp.float32)
+        pdf_diff = jnp.zeros((n,), jnp.float32)
 
     # ---------------- GGX lobe ----------------
-    ax, ay = mat.alphax, mat.alphay
-    is_delta = jnp.maximum(ax, ay) < DELTA_ALPHA
-    x_axis, y_axis = _ggx_frame(ns, mat.phi0)
-    local_o = jnp.stack([dot(x_axis, wo), dot(y_axis, wo), cos_no], axis=-1)
-    local_h = sample_ggx_vndf(local_o, u1, u2, ax, ay)
-    h_rough = (
-        local_h[..., 0:1] * x_axis + local_h[..., 1:2] * y_axis + local_h[..., 2:3] * ns
-    )
-    h = jnp.where(is_delta[..., None], ns, h_rough)
-    local_h = jnp.where(
-        is_delta[..., None],
-        jnp.concatenate([jnp.zeros((n, 2)), jnp.ones((n, 1))], axis=-1),
-        local_h,
-    )
-    cos_ho = dot(h, wo)
-
-    eta_eff = _eta_for_side(mat.eta, inside)
-    f_diel, cos_hi = fresnel_dielectric(cos_ho, eta_eff)
-    refl_diel = f_diel[..., None] * mat.refl_tint
-    trans_diel = (1.0 - f_diel)[..., None] * mat.trans_tint
-    refl_cond = fresnel_conductor(cos_ho, mat.cond_eta, mat.cond_k)
-    conductor = mat.mtype == GGX_CONDUCTOR
-    reflectance = jnp.where(conductor[..., None], refl_cond, refl_diel)
-    transmittance = jnp.where(conductor[..., None], 0.0, trans_diel)
-
-    denom = jnp.maximum(average3(reflectance + transmittance), 1e-12)
-    pdf_reflect = jnp.clip(average3(reflectance) / denom, 0.0, 1.0)
-    do_refract = uc > pdf_reflect
-    inv_eta = 1.0 / eta_eff
-    wi_refl = 2.0 * cos_ho[..., None] * h - wo
-    wi_refr = refract_angle(wo, h, cos_hi, inv_eta[..., None])
-    wi_g = jnp.where(do_refract[..., None], wi_refr, wi_refl)
-
-    bad_hemi = (dot(ng, wi_g) <= 0.0) & ~do_refract
-    lobe_pdf = jnp.where(do_refract, 1.0 - pdf_reflect, pdf_reflect)
-    f_g = jnp.where(do_refract[..., None], transmittance, reflectance)
-
-    # microfacet terms (non-delta)
-    alpha2 = ax * ay
-    cos_ni = dot(ns, wi_g)
-    iso = ax == ay
-    use_iso = iso | do_refract
-    d_iso = ggx_d(alpha2, local_h[..., 2])
-    lam_i_iso = ggx_lambda(alpha2, cos_ni)
-    lam_o_iso = ggx_lambda(alpha2, cos_no)
-    local_i = 2.0 * cos_ho[..., None] * local_h - local_o
-    d_aniso = ggx_aniso_d(ax, ay, local_h)
-    lam_i_a = ggx_aniso_lambda(ax, ay, local_i)
-    lam_o_a = ggx_aniso_lambda(ax, ay, local_o)
-    d_val = jnp.where(use_iso, d_iso, d_aniso)
-    lam_i = jnp.where(use_iso, lam_i_iso, lam_i_a)
-    lam_o = jnp.where(use_iso, lam_o_iso, lam_o_a)
-
-    common = (
-        d_val
-        / jnp.maximum(cos_no, 1e-6)
-        * jnp.where(
-            do_refract,
-            jnp.abs(cos_ho * cos_hi) / jnp.maximum(sqr(cos_hi + cos_ho * inv_eta), 1e-8),
-            0.25,
+    if ft.ggx:
+        ax, ay = mat.alphax, mat.alphay
+        is_delta = jnp.maximum(ax, ay) < DELTA_ALPHA
+        x_axis, y_axis = _ggx_frame(ns, mat.phi0)
+        local_o = jnp.stack([dot(x_axis, wo), dot(y_axis, wo), cos_no], axis=-1)
+        local_h = sample_ggx_vndf(local_o, u1, u2, ax, ay)
+        h_rough = (
+            local_h[..., 0:1] * x_axis
+            + local_h[..., 1:2] * y_axis
+            + local_h[..., 2:3] * ns
         )
-    )
-    pdf_rough = lobe_pdf * common / (1.0 + lam_o)
-    f_rough = f_g * (common / (1.0 + lam_o + lam_i))[..., None]
-    # multiple-scattering energy compensation on the reflection lobe
-    ms = ggx_multiscatter_factor(mat, cos_no)
-    f_rough = jnp.where(do_refract[..., None], f_rough, f_rough * ms)
+        h = jnp.where(is_delta[..., None], ns, h_rough)
+        local_h = jnp.where(
+            is_delta[..., None],
+            jnp.concatenate([jnp.zeros((n, 2)), jnp.ones((n, 1))], axis=-1),
+            local_h,
+        )
+        cos_ho = dot(h, wo)
 
-    # delta lobe: f/pdf must equal Fresnel-weighted tint; encode with pdf=1
-    pdf_ggx = jnp.where(is_delta, lobe_pdf, pdf_rough)
-    f_ggx = jnp.where(is_delta[..., None], f_g * lobe_pdf[..., None], f_rough)
+        eta_eff = _eta_for_side(mat.eta, inside)
+        f_diel, cos_hi = fresnel_dielectric(cos_ho, eta_eff)
+        refl_diel = f_diel[..., None] * mat.refl_tint
+        trans_diel = (1.0 - f_diel)[..., None] * mat.trans_tint
+        if ft.conductor:
+            refl_cond = fresnel_conductor(cos_ho, mat.cond_eta, mat.cond_k)
+            conductor = mat.mtype == GGX_CONDUCTOR
+            reflectance = jnp.where(conductor[..., None], refl_cond, refl_diel)
+            transmittance = jnp.where(conductor[..., None], 0.0, trans_diel)
+        else:
+            reflectance = refl_diel
+            transmittance = trans_diel
 
-    zero_fres = (average3(reflectance) < THROUGHPUT_EPS) & (
-        average3(transmittance) < THROUGHPUT_EPS
-    )
-    ggx_invalid = bad_hemi | zero_fres
-    pdf_ggx = jnp.where(ggx_invalid, 0.0, pdf_ggx)
-    f_ggx = jnp.where(ggx_invalid[..., None], 0.0, f_ggx)
+        inv_eta = 1.0 / eta_eff
+        wi_refl = 2.0 * cos_ho[..., None] * h - wo
+        if ft.transmission:
+            denom = jnp.maximum(average3(reflectance + transmittance), 1e-12)
+            pdf_reflect = jnp.clip(average3(reflectance) / denom, 0.0, 1.0)
+            do_refract = uc > pdf_reflect
+            wi_refr = refract_angle(wo, h, cos_hi, inv_eta[..., None])
+            wi_g = jnp.where(do_refract[..., None], wi_refr, wi_refl)
+        else:
+            pdf_reflect = jnp.ones((n,), jnp.float32)
+            do_refract = jnp.zeros((n,), bool)
+            wi_g = wi_refl
 
-    # ---------------- combine by type ----------------
-    is_ggx = (mat.mtype == GGX_DIELECTRIC) | (mat.mtype == GGX_CONDUCTOR)
-    wi = jnp.where(is_ggx[..., None], wi_g, wi_d)
-    f_cos = jnp.where(is_ggx[..., None], f_ggx, f_diff)
-    pdf = jnp.where(is_ggx, pdf_ggx, pdf_diff)
-    refract = is_ggx & do_refract & ~ggx_invalid
-    eta_out = jnp.where(refract, eta_eff, 1.0)
-    delta = is_ggx & is_delta
+        bad_hemi = (dot(ng, wi_g) <= 0.0) & ~do_refract
+        lobe_pdf = jnp.where(do_refract, 1.0 - pdf_reflect, pdf_reflect)
+        f_g = jnp.where(do_refract[..., None], transmittance, reflectance)
+
+        # microfacet terms (non-delta)
+        alpha2 = ax * ay
+        cos_ni = dot(ns, wi_g)
+        d_iso = ggx_d(alpha2, local_h[..., 2])
+        lam_i_iso = ggx_lambda(alpha2, cos_ni)
+        lam_o_iso = ggx_lambda(alpha2, cos_no)
+        if ft.aniso:
+            iso = ax == ay
+            use_iso = iso | do_refract
+            local_i = 2.0 * cos_ho[..., None] * local_h - local_o
+            d_aniso = ggx_aniso_d(ax, ay, local_h)
+            lam_i_a = ggx_aniso_lambda(ax, ay, local_i)
+            lam_o_a = ggx_aniso_lambda(ax, ay, local_o)
+            d_val = jnp.where(use_iso, d_iso, d_aniso)
+            lam_i = jnp.where(use_iso, lam_i_iso, lam_i_a)
+            lam_o = jnp.where(use_iso, lam_o_iso, lam_o_a)
+        else:
+            d_val, lam_i, lam_o = d_iso, lam_i_iso, lam_o_iso
+
+        common = (
+            d_val
+            / jnp.maximum(cos_no, 1e-6)
+            * (
+                jnp.where(
+                    do_refract,
+                    jnp.abs(cos_ho * cos_hi)
+                    / jnp.maximum(sqr(cos_hi + cos_ho * inv_eta), 1e-8),
+                    0.25,
+                )
+                if ft.transmission
+                else 0.25
+            )
+        )
+        pdf_rough = lobe_pdf * common / (1.0 + lam_o)
+        f_rough = f_g * (common / (1.0 + lam_o + lam_i))[..., None]
+        # multiple-scattering energy compensation on the reflection lobe
+        ms = ggx_multiscatter_factor(mat, cos_no, ft)
+        f_rough = jnp.where(do_refract[..., None], f_rough, f_rough * ms)
+
+        # delta lobe: f/pdf must equal Fresnel-weighted tint; encode with pdf=1
+        pdf_ggx = jnp.where(is_delta, lobe_pdf, pdf_rough)
+        f_ggx = jnp.where(is_delta[..., None], f_g * lobe_pdf[..., None], f_rough)
+
+        zero_fres = (average3(reflectance) < THROUGHPUT_EPS) & (
+            average3(transmittance) < THROUGHPUT_EPS
+        )
+        ggx_invalid = bad_hemi | zero_fres
+        pdf_ggx = jnp.where(ggx_invalid, 0.0, pdf_ggx)
+        f_ggx = jnp.where(ggx_invalid[..., None], 0.0, f_ggx)
+
+        # ---------------- combine by type ----------------
+        if ft.diffuse:
+            is_ggx = (mat.mtype == GGX_DIELECTRIC) | (mat.mtype == GGX_CONDUCTOR)
+            wi = jnp.where(is_ggx[..., None], wi_g, wi_d)
+            f_cos = jnp.where(is_ggx[..., None], f_ggx, f_diff)
+            pdf = jnp.where(is_ggx, pdf_ggx, pdf_diff)
+        else:
+            is_ggx = jnp.ones((n,), bool)
+            wi, f_cos, pdf = wi_g, f_ggx, pdf_ggx
+        refract = is_ggx & do_refract & ~ggx_invalid
+        eta_out = jnp.where(refract, eta_eff, 1.0)
+        delta = is_ggx & is_delta
+    else:
+        wi, f_cos, pdf = wi_d, f_diff, pdf_diff
+        refract = jnp.zeros((n,), bool)
+        eta_out = jnp.ones((n,), jnp.float32)
+        delta = jnp.zeros((n,), bool)
 
     pdf = jnp.where(valid_side, pdf, 0.0)
     f_cos = jnp.where(valid_side[..., None], f_cos, 0.0)
     return BsdfSample(wi, f_cos, pdf, eta_out, delta, refract)
 
 
-def eval_bsdf(mat: MaterialTable, wo, wi, ns, ng, inside=None):
+def eval_bsdf(mat: MaterialTable, wo, wi, ns, ng, inside=None,
+              ft: MatFeatures = ALL_FEATURES):
     """Evaluate f·cosθᵢ and pdf for given directions (used by NEE/MIS).
 
     Returns (f_cos (N,3), pdf (N,)). Delta lobes evaluate to zero.
+    ``ft`` statically drops lobes the scene does not use.
     """
     n = wo.shape[0]
     if inside is None:
@@ -609,71 +756,109 @@ def eval_bsdf(mat: MaterialTable, wo, wi, ns, ng, inside=None):
     cos_ngi = dot(ng, wi)
 
     # diffuse
-    f_on = _oren_nayar_fcos(mat, ns, wo, wi)
-    f_lam = mat.albedo * jnp.maximum(cos_ni, 0.0)[..., None] * INV_PI
-    f_diff = jnp.where((mat.mtype == OREN_NAYAR)[..., None], f_on, f_lam)
-    pdf_diff = jnp.maximum(cos_ni, 0.0) * INV_PI
-    diff_ok = cos_ni > 0.0
-    f_diff = jnp.where(diff_ok[..., None], f_diff, 0.0)
-    pdf_diff = jnp.where(diff_ok, pdf_diff, 0.0)
+    if ft.diffuse:
+        if ft.oren_nayar and ft.lambert:
+            f_on = _oren_nayar_fcos(mat, ns, wo, wi)
+            f_lam = mat.albedo * jnp.maximum(cos_ni, 0.0)[..., None] * INV_PI
+            f_diff = jnp.where((mat.mtype == OREN_NAYAR)[..., None], f_on, f_lam)
+        elif ft.oren_nayar:
+            f_diff = _oren_nayar_fcos(mat, ns, wo, wi)
+        else:
+            f_diff = mat.albedo * jnp.maximum(cos_ni, 0.0)[..., None] * INV_PI
+        pdf_diff = jnp.maximum(cos_ni, 0.0) * INV_PI
+        diff_ok = cos_ni > 0.0
+        f_diff = jnp.where(diff_ok[..., None], f_diff, 0.0)
+        pdf_diff = jnp.where(diff_ok, pdf_diff, 0.0)
+    else:
+        f_diff = jnp.zeros((n, 3), jnp.float32)
+        pdf_diff = jnp.zeros((n,), jnp.float32)
+
+    if not ft.ggx:
+        pdf = jnp.where(valid_side, pdf_diff, 0.0)
+        f = jnp.where(valid_side[..., None], f_diff, 0.0)
+        return f, pdf
 
     # ggx (reference evalGGX, bsdf.cu:571-667)
     ax, ay = mat.alphax, mat.alphay
     alpha2 = ax * ay
     is_delta = jnp.maximum(ax, ay) < DELTA_ALPHA
     conductor = mat.mtype == GGX_CONDUCTOR
-    is_trans = cos_ni < 0.0
+    is_trans = (cos_ni < 0.0) if ft.transmission else jnp.zeros((n,), bool)
     eta_eff = _eta_for_side(mat.eta, inside)
-    ior = jnp.where(is_trans, eta_eff, 1.0)
-    h_raw = ior[..., None] * wi + wo
+    if ft.transmission:
+        ior = jnp.where(is_trans, eta_eff, 1.0)
+        h_raw = ior[..., None] * wi + wo
+    else:
+        ior = jnp.ones((n,), jnp.float32)
+        h_raw = wi + wo
     inv_len_h = 1.0 / jnp.maximum(jnp.sqrt(jnp.sum(h_raw * h_raw, axis=-1)), 1e-12)
     h = h_raw * inv_len_h[..., None]
     h = face_forward(h, ns)
     cos_ho = dot(h, wo)
     f_diel, _ = fresnel_dielectric(cos_ho, eta_eff)
-    refl = jnp.where(
-        conductor[..., None],
-        fresnel_conductor(cos_ho, mat.cond_eta, mat.cond_k),
-        f_diel[..., None] * mat.refl_tint,
-    )
-    trans = jnp.where(conductor[..., None], 0.0, (1.0 - f_diel)[..., None] * mat.trans_tint)
+    if ft.conductor:
+        refl = jnp.where(
+            conductor[..., None],
+            fresnel_conductor(cos_ho, mat.cond_eta, mat.cond_k),
+            f_diel[..., None] * mat.refl_tint,
+        )
+        trans = jnp.where(
+            conductor[..., None], 0.0, (1.0 - f_diel)[..., None] * mat.trans_tint
+        )
+    else:
+        refl = f_diel[..., None] * mat.refl_tint
+        trans = (1.0 - f_diel)[..., None] * mat.trans_tint
 
-    iso = ax == ay
-    use_iso = iso | is_trans
     cos_nh = dot(ns, h)
     d_iso = ggx_d(alpha2, cos_nh)
     lam_i_iso = ggx_lambda(alpha2, jnp.abs(cos_ni))
     lam_o_iso = ggx_lambda(alpha2, cos_no)
-    x_axis, y_axis = _ggx_frame(ns, mat.phi0)
-    local_h = jnp.stack([dot(x_axis, h), dot(y_axis, h), cos_nh], axis=-1)
-    local_o = jnp.stack([dot(x_axis, wo), dot(y_axis, wo), cos_no], axis=-1)
-    local_i = jnp.stack([dot(x_axis, wi), dot(y_axis, wi), cos_ni], axis=-1)
-    d_a = ggx_aniso_d(ax, ay, local_h)
-    lam_i_a = ggx_aniso_lambda(ax, ay, local_i)
-    lam_o_a = ggx_aniso_lambda(ax, ay, local_o)
-    d_val = jnp.where(use_iso, d_iso, d_a)
-    lam_i = jnp.where(use_iso, lam_i_iso, lam_i_a)
-    lam_o = jnp.where(use_iso, lam_o_iso, lam_o_a)
+    if ft.aniso:
+        iso = ax == ay
+        use_iso = iso | is_trans
+        x_axis, y_axis = _ggx_frame(ns, mat.phi0)
+        local_h = jnp.stack([dot(x_axis, h), dot(y_axis, h), cos_nh], axis=-1)
+        local_o = jnp.stack([dot(x_axis, wo), dot(y_axis, wo), cos_no], axis=-1)
+        local_i = jnp.stack([dot(x_axis, wi), dot(y_axis, wi), cos_ni], axis=-1)
+        d_a = ggx_aniso_d(ax, ay, local_h)
+        lam_i_a = ggx_aniso_lambda(ax, ay, local_i)
+        lam_o_a = ggx_aniso_lambda(ax, ay, local_o)
+        d_val = jnp.where(use_iso, d_iso, d_a)
+        lam_i = jnp.where(use_iso, lam_i_iso, lam_i_a)
+        lam_o = jnp.where(use_iso, lam_o_iso, lam_o_a)
+    else:
+        d_val, lam_i, lam_o = d_iso, lam_i_iso, lam_o_iso
 
     common = (
         d_val
         / jnp.maximum(cos_no, 1e-6)
-        * jnp.where(
-            is_trans,
-            sqr(ior * inv_len_h) * jnp.abs(cos_ho * dot(h, wi)),
-            0.25,
+        * (
+            jnp.where(
+                is_trans,
+                sqr(ior * inv_len_h) * jnp.abs(cos_ho * dot(h, wi)),
+                0.25,
+            )
+            if ft.transmission
+            else 0.25
         )
     )
-    denom = jnp.maximum(average3(refl + trans), 1e-12)
-    pdf_reflect = jnp.clip(average3(refl) / denom, 0.0, 1.0)
-    lobe_pdf = jnp.where(is_trans, 1.0 - pdf_reflect, pdf_reflect)
+    if ft.transmission:
+        denom = jnp.maximum(average3(refl + trans), 1e-12)
+        pdf_reflect = jnp.clip(average3(refl) / denom, 0.0, 1.0)
+        lobe_pdf = jnp.where(is_trans, 1.0 - pdf_reflect, pdf_reflect)
+    else:
+        lobe_pdf = jnp.ones((n,), jnp.float32)
     pdf_ggx = lobe_pdf * common / (1.0 + lam_o)
-    ms = ggx_multiscatter_factor(mat, cos_no)
+    ms = ggx_multiscatter_factor(mat, cos_no, ft)
     f_sel = jnp.where(is_trans[..., None], trans, refl * ms)
     f_ggx = f_sel * (common / (1.0 + lam_o + lam_i))[..., None]
 
-    has_refl = jnp.where(conductor, True, average3(mat.refl_tint) > THROUGHPUT_EPS)
-    has_trans = jnp.where(conductor, False, average3(mat.trans_tint) > THROUGHPUT_EPS)
+    if ft.conductor:
+        has_refl = jnp.where(conductor, True, average3(mat.refl_tint) > THROUGHPUT_EPS)
+        has_trans = jnp.where(conductor, False, average3(mat.trans_tint) > THROUGHPUT_EPS)
+    else:
+        has_refl = average3(mat.refl_tint) > THROUGHPUT_EPS
+        has_trans = average3(mat.trans_tint) > THROUGHPUT_EPS
     ggx_bad = (
         (cos_no <= 0.0)
         | ((cos_ngi < 0.0) != is_trans)
@@ -684,9 +869,12 @@ def eval_bsdf(mat: MaterialTable, wo, wi, ns, ng, inside=None):
     pdf_ggx = jnp.where(ggx_bad, 0.0, pdf_ggx)
     f_ggx = jnp.where(ggx_bad[..., None], 0.0, f_ggx)
 
-    is_ggx = (mat.mtype == GGX_DIELECTRIC) | (mat.mtype == GGX_CONDUCTOR)
-    f = jnp.where(is_ggx[..., None], f_ggx, f_diff)
-    pdf = jnp.where(is_ggx, pdf_ggx, pdf_diff)
+    if ft.diffuse:
+        is_ggx = (mat.mtype == GGX_DIELECTRIC) | (mat.mtype == GGX_CONDUCTOR)
+        f = jnp.where(is_ggx[..., None], f_ggx, f_diff)
+        pdf = jnp.where(is_ggx, pdf_ggx, pdf_diff)
+    else:
+        f, pdf = f_ggx, pdf_ggx
     pdf = jnp.where(valid_side, pdf, 0.0)
     f = jnp.where(valid_side[..., None], f, 0.0)
     return f, pdf

@@ -128,8 +128,11 @@ def jax_searchsorted_rows(cdf_rows, u):
 
 
 def pdf_piecewise_2d(d: Piecewise2D, x, y):
+    from .gather import onehot_gather
+
     h, w = d.func.shape
     col = jnp.clip((x * w).astype(jnp.int32), 0, w - 1)
     row = jnp.clip((y * h).astype(jnp.int32), 0, h - 1)
+    f = onehot_gather(d.func.reshape(h * w, 1), row * w + col)[..., 0]
     safe_int = jnp.where(d.func_int > 0, d.func_int, 1.0)
-    return jnp.where(d.func_int > 0, d.func[row, col] / safe_int, 1.0)
+    return jnp.where(d.func_int > 0, f / safe_int, 1.0)

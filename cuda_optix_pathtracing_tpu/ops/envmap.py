@@ -68,10 +68,14 @@ def _uv_to_dir(u, v):
 
 
 def _lookup(env: EnvMap, u, v):
+    from .gather import onehot_gather
+
     h, w = env.image.shape[:2]
     col = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
     row = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
-    return env.image[row, col] * env.scale
+    # one-hot MXU gather for small maps, generic gather above the threshold
+    texel = onehot_gather(env.image.reshape(h * w, 3), row * w + col)
+    return texel * env.scale
 
 
 def sample_envmap(env: EnvMap, u1, u2):

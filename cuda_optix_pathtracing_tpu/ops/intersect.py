@@ -155,13 +155,23 @@ def intersect_closest(o, d, v0, e0, e1, t_max=None, chunk: int = 32) -> ClosestH
         init = (zf + BIG_T, zf.astype(jnp.int32), jnp.int32(0))
         (best_t, best_i, _), _ = lax.scan(step, init, (v0c, e0c, e1c))
 
+    return closest_epilogue(o, d, v0, e0, e1, best_t, best_i, t_max)
+
+
+def closest_epilogue(o, d, v0, e0, e1, best_t, best_i, t_max=None) -> ClosestHit:
+    """Build the full ClosestHit record from (best_t, best_i).
+
+    Shared by the XLA sweep and the Pallas kernel. Triangle attributes are
+    fetched with a one-hot MXU gather (ops/gather.py) — 13× faster than a
+    generic gather on TPU for small T.
+    """
+    from .gather import onehot_gather_pytree
+
     hit = best_t < BIG_T
     if t_max is not None:
         hit = hit & (best_t < t_max)
 
-    hv0 = v0[best_i]
-    he0 = e0[best_i]
-    he1 = e1[best_i]
+    hv0, he0, he1 = onehot_gather_pytree((v0, e0, e1), best_i)
     # recompute barycentrics for the winning triangle only ((N,) ops)
     best_u, best_v = _uv_for_tri(o, d, hv0, he0, he1)
     pos = hv0 + best_u[:, None] * he0 + best_v[:, None] * he1

@@ -29,9 +29,8 @@ from .intersect import (
     MT_TOLERANCE,
     T_MIN,
     ClosestHit,
-    _uv_for_tri,
+    closest_epilogue,
 )
-from .vecmath import cross, error_from_triangle_intersection, normalize
 
 LANES = 128
 BLOCK_ROWS = 32  # rays per program = BLOCK_ROWS * LANES = 4096
@@ -183,19 +182,7 @@ def intersect_closest_pallas(o, d, v0, e0, e1, t_max=None) -> ClosestHit:
     best_t, best_i = _closest_call(planes, tri_tab, rows)
     best_t = best_t.reshape(-1)[:n]
     best_i = best_i.reshape(-1)[:n]
-
-    hit = best_t < BIG_T
-    if t_max is not None:
-        hit = hit & (best_t < t_max)
-    hv0, he0, he1 = v0[best_i], e0[best_i], e1[best_i]
-    best_u, best_v = _uv_for_tri(o, d, hv0, he0, he1)
-    pos = hv0 + best_u[:, None] * he0 + best_v[:, None] * he1
-    ng = normalize(cross(he1, he0))
-    ng = jnp.where(jnp.sum(d * ng, axis=-1, keepdims=True) > 0.0, -ng, ng)
-    err = error_from_triangle_intersection(
-        best_u, best_v, hv0, hv0 + he0, hv0 + he1
-    )
-    return ClosestHit(hit, best_t, best_i, best_u, best_v, pos, ng, err)
+    return closest_epilogue(o, d, v0, e0, e1, best_t, best_i, t_max)
 
 
 def intersect_any_pallas(o, d, v0, e0, e1, t_max):

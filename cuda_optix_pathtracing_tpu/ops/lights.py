@@ -60,7 +60,9 @@ class LightTable(NamedTuple):
     one_minus_cos: jnp.ndarray  # (L,) directional spread
 
     def gather(self, idx):
-        return LightTable(*(f[idx] for f in self))
+        from .gather import onehot_gather_pytree
+
+        return onehot_gather_pytree(self, idx)
 
 
 def point_light(color, position, radius: float = 1e-3) -> dict:
