@@ -35,15 +35,20 @@ def main():
     )
     film = film_new(height, width)
 
+    spp_per_pass = 1
+
     # warmup / compile
-    film = render_progressive(scene, film, cfg, width, height, jnp.uint32(0), kspp)
+    film = render_progressive(
+        scene, film, cfg, width, height, jnp.uint32(0), kspp, spp_per_pass
+    )
     film.mean.block_until_ready()
 
     iters = 4
     t0 = time.perf_counter()
     for i in range(iters):
         film = render_progressive(
-            scene, film, cfg, width, height, jnp.uint32((i + 1) * kspp), kspp
+            scene, film, cfg, width, height, jnp.uint32((i + 1) * kspp), kspp,
+            spp_per_pass,
         )
     film.mean.block_until_ready()
     dt = time.perf_counter() - t0

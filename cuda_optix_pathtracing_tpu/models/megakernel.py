@@ -39,7 +39,7 @@ from ..ops import rng as R
 from ..ops.bsdf import ALL_FEATURES, MatFeatures, eval_bsdf, sample_bsdf
 from ..ops.camera import generate_rays, pixel_centers
 from ..ops.envmap import eval_envmap, sample_envmap
-from ..ops.film import Film, film_add_sample, film_new
+from ..ops.film import Film, film_add_batch, film_add_sample, film_new
 from ..ops.gather import onehot_gather
 from ..ops.intersect import intersect_any, intersect_closest
 from ..ops.intersect_pallas import intersect_any_pallas, intersect_closest_pallas
@@ -269,9 +269,20 @@ def trace_paths(
     return state.radiance
 
 
-def render_sample_batch(scene: Scene, cfg: MegakernelConfig, width, height, sample):
-    """Render one sample for every pixel → (H, W, 3) radiance."""
+def render_sample_batch(scene: Scene, cfg: MegakernelConfig, width, height, sample, nspp: int = 1):
+    """Render ``nspp`` samples for every pixel → (nspp, H, W, 3) radiance
+    (or (H, W, 3) when nspp == 1).
+
+    Samples are *flattened into the ray batch* rather than looped: a
+    TPU wants the largest dense batch it can hold — measured ~1.5×
+    throughput at nspp=4 vs 1 on cornell 256² (scripts history).
+    """
     pix = pixel_centers(width, height)  # (N,2) float pixel indices
+    if nspp > 1:
+        pix = jnp.tile(pix, (nspp, 1))
+        sample = sample + jnp.repeat(
+            jnp.arange(nspp, dtype=jnp.uint32), width * height
+        )
     px = pix[:, 0].astype(jnp.uint32)
     py = pix[:, 1].astype(jnp.uint32)
     sampler = R.Sampler(cfg.sampler, cfg.seed)
@@ -279,32 +290,46 @@ def render_sample_batch(scene: Scene, cfg: MegakernelConfig, width, height, samp
     p_film = pix + jnp.stack([jx, jy], axis=-1)
     o, d = generate_rays(p_film, scene.cam_from_raster, scene.world_from_cam)
     radiance = trace_paths(scene, cfg, px, py, sample, o, d)
+    if nspp > 1:
+        return radiance.reshape(nspp, height, width, 3)
     return radiance.reshape(height, width, 3)
 
 
-@partial(jax.jit, static_argnames=("cfg", "width", "height", "kspp"))
-def render_progressive(scene: Scene, film: Film, cfg: MegakernelConfig, width, height, sample_offset, kspp):
+@partial(jax.jit, static_argnames=("cfg", "width", "height", "kspp", "spp_per_pass"))
+def render_progressive(scene: Scene, film: Film, cfg: MegakernelConfig, width, height, sample_offset, kspp, spp_per_pass: int = 1):
     """Accumulate ``kspp`` samples into the film starting at
     ``sample_offset`` (the reference's per-launch sample batching,
-    megakernel/main.cu:141-193)."""
+    megakernel/main.cu:141-193). ``spp_per_pass`` samples are traced as
+    one flattened ray batch per pass; must divide ``kspp``."""
+    if kspp % spp_per_pass:
+        raise ValueError(f"kspp={kspp} not divisible by spp_per_pass={spp_per_pass}")
 
     def step(film, k):
-        radiance = render_sample_batch(scene, cfg, width, height, sample_offset + k)
+        radiance = render_sample_batch(
+            scene, cfg, width, height, sample_offset + k, nspp=spp_per_pass
+        )
+        if spp_per_pass > 1:
+            return film_add_batch(film, radiance), None
         return film_add_sample(film, radiance), None
 
-    film, _ = lax.scan(step, film, jnp.arange(kspp, dtype=jnp.uint32))
+    film, _ = lax.scan(
+        step,
+        film,
+        jnp.arange(0, kspp, spp_per_pass, dtype=jnp.uint32),
+    )
     return film
 
 
-def render(scene: Scene, width: int, height: int, spp: int, cfg: MegakernelConfig | None = None, kspp: int = 4, film: Film | None = None, progress_cb=None):
+def render(scene: Scene, width: int, height: int, spp: int, cfg: MegakernelConfig | None = None, kspp: int = 4, film: Film | None = None, progress_cb=None, spp_per_pass: int = 1):
     """Host-side progressive render loop (checkpointable between batches)."""
     cfg = cfg or MegakernelConfig()
     film = film if film is not None else film_new(height, width)
     done = int(film.n)
     while done < spp:
         batch = min(kspp, spp - done)
+        per_pass = spp_per_pass if batch % spp_per_pass == 0 else 1
         film = render_progressive(
-            scene, film, cfg, width, height, jnp.uint32(done), batch
+            scene, film, cfg, width, height, jnp.uint32(done), batch, per_pass
         )
         done += batch
         if progress_cb is not None:

@@ -35,6 +35,18 @@ def film_add_sample(film: Film, radiance) -> Film:
     return Film(mean, m2, n)
 
 
+def film_add_batch(film: Film, radiance_batch) -> Film:
+    """Welford update with a batch of S samples per pixel (S,H,W,3).
+
+    Batch-form update (Chan et al. merge of the batch's own mean/M2 with
+    the running state) — one pass over the batch, no per-sample loop.
+    """
+    s = radiance_batch.shape[0]
+    b_mean = jnp.mean(radiance_batch, axis=0)
+    b_m2 = jnp.sum(jnp.square(radiance_batch - b_mean[None]), axis=0)
+    return film_merge(film, Film(b_mean, b_m2, jnp.float32(s)))
+
+
 def film_merge(a: Film, b: Film) -> Film:
     """Parallel Welford merge (Chan et al.) — used to combine films
     accumulated independently, e.g. per device shard or per batch."""

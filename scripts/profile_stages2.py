@@ -23,6 +23,7 @@ from cuda_optix_pathtracing_tpu.ops.gather import onehot_gather
 from cuda_optix_pathtracing_tpu.ops.bsdf import eval_bsdf, sample_bsdf
 from cuda_optix_pathtracing_tpu.ops.envmap import eval_envmap
 from cuda_optix_pathtracing_tpu.ops.lights import eval_light, sample_light
+from cuda_optix_pathtracing_tpu.ops.bsdf import mat_features_from_table
 
 K = 16
 
@@ -92,9 +93,10 @@ bench(
 mat = jax.jit(lambda: scene.materials.gather(onehot_gather(scene.tri_mat, hit.tri)))()
 mat = jax.block_until_ready(mat)
 
+ftx = mat_features_from_table(scene.materials)
 bench(
     "eval_bsdf",
-    amplify(lambda o, d: eval_bsdf(mat, wo + o * 1e-12, d, hit.normal, hit.normal, inside)[0]),
+    amplify(lambda o, d: eval_bsdf(mat, wo + o * 1e-12, d, hit.normal, hit.normal, inside, ft=ftx)[0]),
     o,
     d,
 )
@@ -103,7 +105,8 @@ bench(
     amplify(
         lambda o, d: sample_bsdf(
             mat, wo + o * 1e-12, hit.normal, hit.normal,
-            o[:, 0] * 0 + 0.3, o[:, 1] * 0 + 0.7, o[:, 2] * 0 + 0.5, inside
+            o[:, 0] * 0 + 0.3, o[:, 1] * 0 + 0.7, o[:, 2] * 0 + 0.5, inside,
+            ft=ftx,
         ).f_cos
     ),
     o,
@@ -136,7 +139,7 @@ def rng_bounce(o, d):
 
 bench("rng per bounce (7 dims)", amplify(rng_bounce), o, d)
 
-cfg = MegakernelConfig(max_depth=5, remat=False)
+cfg = MegakernelConfig(max_depth=5, remat=False, features=mat_features_from_table(scene.materials))
 bench(
     "full trace depth5",
     amplify(lambda o, d: trace_paths(scene, cfg, px, py, jnp.uint32(0), o, d)),
