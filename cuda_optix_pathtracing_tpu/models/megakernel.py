@@ -41,8 +41,10 @@ from ..ops.camera import generate_rays, pixel_centers
 from ..ops.envmap import eval_envmap, sample_envmap
 from ..ops.film import Film, film_add_batch, film_add_sample, film_new
 from ..ops.gather import onehot_gather
+from ..ops.bvh_pallas import bvh_any_pallas, bvh_closest_pallas, tri_rows_pack
 from ..ops.intersect import intersect_any, intersect_closest
 from ..ops.intersect_pallas import intersect_any_pallas, intersect_closest_pallas
+from ..ops.morton import is_pot_square, morton_pixel_order, unmorton_image
 from ..ops.lights import eval_light, sample_light
 from ..ops.vecmath import max_component, offset_ray_origin, sqr
 from ..scene.types import Scene
@@ -63,6 +65,9 @@ class MegakernelConfig:
     features: MatFeatures = ALL_FEATURES  # static material-lobe set; derive
     # from the scene with bsdf.mat_features_from_table for specialized
     # (faster) compiled code
+    pixel_order: str = "auto"  # "auto" | "linear" | "morton": Morton pixel
+    # tiles make packet-BVH ray tiles spatially square (morton.cuh parity);
+    # auto = morton when the scene has a BVH and the image is a POT square
 
 
 def _use_pallas(cfg: "MegakernelConfig") -> bool:
@@ -75,6 +80,12 @@ def _use_pallas(cfg: "MegakernelConfig") -> bool:
 
 def _closest(scene: Scene, cfg, o, d):
     if _use_pallas(cfg):
+        if scene.bvh is not None:
+            return bvh_closest_pallas(
+                o, d, scene.tri_v0, scene.tri_e0, scene.tri_e1,
+                scene.bvh.lo, scene.bvh.hi, scene.bvh.meta,
+                tri_rows_pack(scene.tri_v0, scene.tri_e0, scene.tri_e1),
+            )
         return intersect_closest_pallas(
             o, d, scene.tri_v0, scene.tri_e0, scene.tri_e1
         )
@@ -85,12 +96,26 @@ def _closest(scene: Scene, cfg, o, d):
 
 def _any(scene: Scene, cfg, o, d, t_max):
     if _use_pallas(cfg):
+        if scene.bvh is not None:
+            return bvh_any_pallas(
+                o, d, scene.bvh.lo, scene.bvh.hi, scene.bvh.meta,
+                tri_rows_pack(scene.tri_v0, scene.tri_e0, scene.tri_e1),
+                t_max,
+            )
         return intersect_any_pallas(
             o, d, scene.tri_v0, scene.tri_e0, scene.tri_e1, t_max
         )
     return intersect_any(
         o, d, scene.tri_v0, scene.tri_e0, scene.tri_e1, t_max, chunk=cfg.tri_chunk
     )
+
+
+def _use_morton(cfg, scene, width, height) -> bool:
+    if cfg.pixel_order == "morton":
+        return is_pot_square(width, height)
+    if cfg.pixel_order == "auto":
+        return scene.bvh is not None and is_pot_square(width, height)
+    return False
 
 
 class PathState(NamedTuple):
@@ -277,7 +302,17 @@ def render_sample_batch(scene: Scene, cfg: MegakernelConfig, width, height, samp
     TPU wants the largest dense batch it can hold — measured ~1.5×
     throughput at nspp=4 vs 1 on cornell 256² (scripts history).
     """
-    pix = pixel_centers(width, height)  # (N,2) float pixel indices
+    morton = _use_morton(cfg, scene, width, height)
+    if morton:
+        # host-side constant: pixel list permuted into Morton order (no
+        # device gather — the permutation is baked into the trace)
+        import numpy as np
+
+        ys, xs = np.mgrid[0:height, 0:width]
+        flat = np.stack([xs.reshape(-1), ys.reshape(-1)], -1).astype(np.float32)
+        pix = jnp.asarray(flat[morton_pixel_order(width, height)])
+    else:
+        pix = pixel_centers(width, height)  # (N,2) float pixel indices
     if nspp > 1:
         pix = jnp.tile(pix, (nspp, 1))
         sample = sample + jnp.repeat(
@@ -290,6 +325,13 @@ def render_sample_batch(scene: Scene, cfg: MegakernelConfig, width, height, samp
     p_film = pix + jnp.stack([jx, jy], axis=-1)
     o, d = generate_rays(p_film, scene.cam_from_raster, scene.world_from_cam)
     radiance = trace_paths(scene, cfg, px, py, sample, o, d)
+    if morton:
+        if nspp > 1:
+            per = radiance.reshape(nspp, height * width, 3)
+            return jnp.stack(
+                [unmorton_image(per[s], height, width) for s in range(nspp)]
+            )
+        return unmorton_image(radiance, height, width)
     if nspp > 1:
         return radiance.reshape(nspp, height, width, 3)
     return radiance.reshape(height, width, 3)

@@ -15,13 +15,23 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.bsdf import MaterialTable, make_material_table
+from ..ops.bvh import PackedBVH, build_bvh, pack_bvh, permute_tri_array
 from ..ops.envmap import EnvMap, constant_envmap, make_envmap
 from ..ops.lights import LightTable, make_light_table
 from ..ops.camera import CameraConfig, camera_from_raster, world_from_camera
 
+# scenes at or above this many triangles get a BVH at build time; below it
+# the brute-force tile sweep is faster than packet traversal
+BVH_THRESHOLD = 512
+
 
 class Scene(NamedTuple):
-    """Device scene (jit-traceable pytree)."""
+    """Device scene (jit-traceable pytree).
+
+    When ``bvh`` is present, the triangle arrays are in packed-BVH
+    (leaf-major, degenerate-padded) order and ``tri_mat`` is permuted to
+    match; traversal kernels and brute force both work on them.
+    """
 
     tri_v0: jnp.ndarray  # (T,3)
     tri_e0: jnp.ndarray  # (T,3) p1 - p0
@@ -32,6 +42,7 @@ class Scene(NamedTuple):
     env: EnvMap  # environment light (constant color = 1-px-wide map)
     cam_from_raster: jnp.ndarray  # (4,4)
     world_from_cam: jnp.ndarray  # (4,4)
+    bvh: Optional[PackedBVH] = None
 
     @property
     def num_triangles(self):
@@ -69,7 +80,7 @@ class HostScene:
         self.lights.append(light)
 
 
-def scene_from_host(hs: HostScene) -> Scene:
+def scene_from_host(hs: HostScene, use_bvh: Optional[bool] = None) -> Scene:
     tris = np.stack(hs.triangles).astype(np.float32)  # (T,3,3)
     cam = hs.camera
     # NEE needs ≥1 light row; a zero-intensity point light is a no-op filler
@@ -78,11 +89,24 @@ def scene_from_host(hs: HostScene) -> Scene:
         env = make_envmap(hs.env_image, hs.env_rotation)
     else:
         env = constant_envmap(hs.env_color)
+
+    v0 = tris[:, 0]
+    e0 = tris[:, 1] - tris[:, 0]
+    e1 = tris[:, 2] - tris[:, 0]
+    tri_mat = np.asarray(hs.tri_mat, np.int32)
+    bvh = None
+    if use_bvh if use_bvh is not None else (len(tris) >= BVH_THRESHOLD):
+        bvh = pack_bvh(build_bvh(v0, e0, e1))
+        v0 = permute_tri_array(v0, bvh.perm)
+        e0 = permute_tri_array(e0, bvh.perm)
+        e1 = permute_tri_array(e1, bvh.perm)
+        tri_mat = permute_tri_array(tri_mat, bvh.perm)
+
     return Scene(
-        tri_v0=jnp.asarray(tris[:, 0]),
-        tri_e0=jnp.asarray(tris[:, 1] - tris[:, 0]),
-        tri_e1=jnp.asarray(tris[:, 2] - tris[:, 0]),
-        tri_mat=jnp.asarray(hs.tri_mat, jnp.int32),
+        tri_v0=jnp.asarray(v0),
+        tri_e0=jnp.asarray(e0),
+        tri_e1=jnp.asarray(e1),
+        tri_mat=jnp.asarray(tri_mat, jnp.int32),
         materials=make_material_table(hs.materials),
         lights=make_light_table(lights),
         env=env,
@@ -90,4 +114,5 @@ def scene_from_host(hs: HostScene) -> Scene:
             cam.focal_length_mm, cam.sensor_height_mm, cam.width, cam.height
         ),
         world_from_cam=world_from_camera(cam.direction, cam.position),
+        bvh=bvh,
     )

@@ -1,0 +1,169 @@
+"""BVH build invariants + packet-traversal correctness vs brute force."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_optix_pathtracing_tpu.ops.bvh import (
+    BRANCHING,
+    LEAF_SIZE,
+    build_bvh,
+    bvh_stats,
+    pack_bvh,
+    permute_tri_array,
+    traverse_ref,
+)
+from cuda_optix_pathtracing_tpu.ops.bvh_pallas import (
+    bvh_any_pallas,
+    bvh_closest_pallas,
+    tri_rows_pack,
+)
+from cuda_optix_pathtracing_tpu.ops.intersect import intersect_any, intersect_closest
+
+
+def random_soup(t, seed=0, spread=4.0):
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-spread, spread, (t, 3)).astype(np.float32)
+    v0 = centers + rng.normal(0, 0.3, (t, 3)).astype(np.float32)
+    e0 = rng.normal(0, 0.5, (t, 3)).astype(np.float32)
+    e1 = rng.normal(0, 0.5, (t, 3)).astype(np.float32)
+    return v0, e0, e1
+
+
+def random_rays(n, seed=1, spread=6.0):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-spread, spread, (n, 3)).astype(np.float32)
+    d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return o, d
+
+
+@pytest.mark.parametrize("t", [5, 40, 300])
+def test_build_invariants(t):
+    v0, e0, e1 = random_soup(t)
+    bvh = build_bvh(v0, e0, e1)
+    st = bvh_stats(bvh)
+    assert st["max_leaf"] <= LEAF_SIZE
+    order = np.sort(np.asarray(bvh.tri_order))
+    assert (order == np.arange(t)).all(), "every triangle in exactly one leaf"
+
+    # every leaf child's AABB contains its triangles
+    lo = np.asarray(bvh.child_lo)
+    hi = np.asarray(bvh.child_hi)
+    ls = np.asarray(bvh.child_leaf_start)
+    lc = np.asarray(bvh.child_leaf_count)
+    ordr = np.asarray(bvh.tri_order)
+    p1, p2 = v0 + e0, v0 + e1
+    for ni in range(lo.shape[0]):
+        for ci in range(BRANCHING):
+            if lc[ni, ci] <= 0:
+                continue
+            ids = ordr[ls[ni, ci] : ls[ni, ci] + lc[ni, ci]]
+            pts = np.concatenate([v0[ids], p1[ids], p2[ids]])
+            assert (pts >= lo[ni, ci] - 1e-4).all()
+            assert (pts <= hi[ni, ci] + 1e-4).all()
+
+
+@pytest.mark.parametrize("t,n", [(40, 256), (300, 512)])
+def test_ref_traversal_matches_brute(t, n):
+    v0, e0, e1 = random_soup(t)
+    o, d = random_rays(n)
+    bvh = build_bvh(v0, e0, e1)
+    tb, ib = traverse_ref(bvh, v0, e0, e1, o, d)
+    hit = intersect_closest(jnp.asarray(o), jnp.asarray(d), jnp.asarray(v0), jnp.asarray(e0), jnp.asarray(e1))
+    brute_t = np.where(np.asarray(hit.hit), np.asarray(hit.t), np.inf)
+    np.testing.assert_allclose(tb, brute_t, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("t,n", [(40, 1024), (500, 2048)])
+def test_pallas_closest_matches_brute(t, n):
+    v0, e0, e1 = random_soup(t)
+    o, d = random_rays(n)
+    packed = pack_bvh(build_bvh(v0, e0, e1))
+    pv0 = permute_tri_array(v0, packed.perm)
+    pe0 = permute_tri_array(e0, packed.perm)
+    pe1 = permute_tri_array(e1, packed.perm)
+    tri_rows = tri_rows_pack(pv0, pe0, pe1)
+
+    hit = bvh_closest_pallas(
+        jnp.asarray(o), jnp.asarray(d), pv0, pe0, pe1,
+        packed.lo, packed.hi, packed.meta, tri_rows,
+        interpret=True,
+    )
+    ref = intersect_closest(
+        jnp.asarray(o), jnp.asarray(d),
+        jnp.asarray(v0), jnp.asarray(e0), jnp.asarray(e1),
+    )
+    np.testing.assert_array_equal(np.asarray(hit.hit), np.asarray(ref.hit))
+    m = np.asarray(ref.hit)
+    np.testing.assert_allclose(
+        np.asarray(hit.t)[m], np.asarray(ref.t)[m], rtol=1e-4, atol=1e-5
+    )
+    # hit triangles agree through the permutation (modulo exact-tie order)
+    perm = np.asarray(packed.perm)
+    agree = perm[np.asarray(hit.tri)[m]] == np.asarray(ref.tri)[m]
+    assert agree.mean() > 0.99
+
+
+@pytest.mark.parametrize("t,n", [(60, 1024)])
+def test_pallas_anyhit_matches_brute(t, n):
+    v0, e0, e1 = random_soup(t)
+    o, d = random_rays(n)
+    packed = pack_bvh(build_bvh(v0, e0, e1))
+    pv0 = permute_tri_array(v0, packed.perm)
+    pe0 = permute_tri_array(e0, packed.perm)
+    pe1 = permute_tri_array(e1, packed.perm)
+    tri_rows = tri_rows_pack(pv0, pe0, pe1)
+    t_max = 5.0
+
+    occ = bvh_any_pallas(
+        jnp.asarray(o), jnp.asarray(d),
+        packed.lo, packed.hi, packed.meta, tri_rows, t_max,
+        interpret=True,
+    )
+    ref = intersect_any(
+        jnp.asarray(o), jnp.asarray(d),
+        jnp.asarray(v0), jnp.asarray(e0), jnp.asarray(e1), t_max,
+    )
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref))
+
+
+def test_scene_bvh_render_matches_brute():
+    """End-to-end: mesh scene rendered with BVH-packed arrays (XLA brute
+    over padded arrays on CPU) matches the unpacked scene — validates the
+    permutation, padding, and tri_mat reorder."""
+    import jax
+
+    from cuda_optix_pathtracing_tpu.models.megakernel import (
+        MegakernelConfig,
+        render_sample_batch,
+    )
+    from cuda_optix_pathtracing_tpu.scene.procedural import cornell_box_mesh
+
+    w = h = 32
+    s_plain = cornell_box_mesh(w, h, subdiv=8, use_bvh=False)
+    s_bvh = cornell_box_mesh(w, h, subdiv=8, use_bvh=True)
+    assert s_bvh.bvh is not None and s_plain.bvh is None
+    cfg = MegakernelConfig(max_depth=3, remat=False, backend="xla", pixel_order="linear")
+    a = jax.jit(lambda: render_sample_batch(s_plain, cfg, w, h, jnp.uint32(0)))()
+    b = jax.jit(lambda: render_sample_batch(s_bvh, cfg, w, h, jnp.uint32(0)))()
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_morton_order_same_image():
+    """Morton pixel ordering must not change the rendered image."""
+    import jax
+
+    from cuda_optix_pathtracing_tpu.models.megakernel import (
+        MegakernelConfig,
+        render_sample_batch,
+    )
+    from cuda_optix_pathtracing_tpu.scene.procedural import cornell_box
+
+    w = h = 32
+    scene = cornell_box(w, h)
+    cfg_l = MegakernelConfig(max_depth=2, remat=False, backend="xla", pixel_order="linear")
+    cfg_m = MegakernelConfig(max_depth=2, remat=False, backend="xla", pixel_order="morton")
+    a = jax.jit(lambda: render_sample_batch(scene, cfg_l, w, h, jnp.uint32(0)))()
+    b = jax.jit(lambda: render_sample_batch(scene, cfg_m, w, h, jnp.uint32(0)))()
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
