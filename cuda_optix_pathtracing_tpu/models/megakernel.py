@@ -41,7 +41,15 @@ from ..ops.camera import generate_rays, pixel_centers
 from ..ops.envmap import eval_envmap, sample_envmap
 from ..ops.film import Film, film_add_batch, film_add_sample, film_new
 from ..ops.gather import onehot_gather
-from ..ops.bvh_pallas import bvh_any_pallas, bvh_closest_pallas, tri_rows_pack
+from ..ops.bvh_pallas import (
+    bvh_any_pallas,
+    bvh_any_raw,
+    bvh_closest_pallas,
+    bvh_closest_raw,
+    tri_rows_pack,
+)
+from ..ops.intersect import closest_epilogue
+from ..ops.raysort import ray_sort_key, scene_bounds, sorted_apply, sorted_apply_tmax
 from ..ops.intersect import intersect_any, intersect_closest
 from ..ops.intersect_pallas import intersect_any_pallas, intersect_closest_pallas
 from ..ops.morton import is_pot_square, morton_pixel_order, unmorton_image
@@ -68,6 +76,10 @@ class MegakernelConfig:
     pixel_order: str = "auto"  # "auto" | "linear" | "morton": Morton pixel
     # tiles make packet-BVH ray tiles spatially square (morton.cuh parity);
     # auto = morton when the scene has a BVH and the image is a POT square
+    sort_rays: str = "auto"  # "auto" | "on" | "off": re-order rays by
+    # direction-octant|origin-Morton before packet-BVH traversal — makes
+    # bounce/shadow batches coherent (the wavefront ray-regrouping idea);
+    # auto = on whenever the scene has a BVH
 
 
 def _use_pallas(cfg: "MegakernelConfig") -> bool:
@@ -78,13 +90,37 @@ def _use_pallas(cfg: "MegakernelConfig") -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _closest(scene: Scene, cfg, o, d):
+def _sort_on(cfg, scene) -> bool:
+    if cfg.sort_rays == "on":
+        return True
+    if cfg.sort_rays == "auto":
+        return scene.bvh is not None
+    return False
+
+
+def _closest(scene: Scene, cfg, o, d, alive=None):
     if _use_pallas(cfg):
         if scene.bvh is not None:
+            tri_rows = tri_rows_pack(scene.tri_v0, scene.tri_e0, scene.tri_e1)
+            if _sort_on(cfg, scene):
+                blo, bhi = scene_bounds(
+                    scene.tri_v0, scene.tri_e0, scene.tri_e1
+                )
+                key = ray_sort_key(o, d, blo, bhi, alive)
+                t, i = sorted_apply(
+                    o, d, key,
+                    lambda so, sd: bvh_closest_raw(
+                        so, sd, scene.bvh.lo, scene.bvh.hi, scene.bvh.meta,
+                        tri_rows,
+                    ),
+                    2,
+                )
+                return closest_epilogue(
+                    o, d, scene.tri_v0, scene.tri_e0, scene.tri_e1, t, i
+                )
             return bvh_closest_pallas(
                 o, d, scene.tri_v0, scene.tri_e0, scene.tri_e1,
-                scene.bvh.lo, scene.bvh.hi, scene.bvh.meta,
-                tri_rows_pack(scene.tri_v0, scene.tri_e0, scene.tri_e1),
+                scene.bvh.lo, scene.bvh.hi, scene.bvh.meta, tri_rows,
             )
         return intersect_closest_pallas(
             o, d, scene.tri_v0, scene.tri_e0, scene.tri_e1
@@ -94,12 +130,28 @@ def _closest(scene: Scene, cfg, o, d):
     )
 
 
-def _any(scene: Scene, cfg, o, d, t_max):
+def _any(scene: Scene, cfg, o, d, t_max, alive=None):
     if _use_pallas(cfg):
         if scene.bvh is not None:
+            tri_rows = tri_rows_pack(scene.tri_v0, scene.tri_e0, scene.tri_e1)
+            if _sort_on(cfg, scene):
+                blo, bhi = scene_bounds(
+                    scene.tri_v0, scene.tri_e0, scene.tri_e1
+                )
+                key = ray_sort_key(o, d, blo, bhi, alive)
+                t_max_arr = jnp.broadcast_to(
+                    jnp.asarray(t_max, jnp.float32), (o.shape[0],)
+                )
+                occ = sorted_apply_tmax(
+                    o, d, t_max_arr, key,
+                    lambda so, sd, st: bvh_any_raw(
+                        so, sd, scene.bvh.lo, scene.bvh.hi, scene.bvh.meta,
+                        tri_rows, st,
+                    ),
+                )
+                return occ > 0
             return bvh_any_pallas(
-                o, d, scene.bvh.lo, scene.bvh.hi, scene.bvh.meta,
-                tri_rows_pack(scene.tri_v0, scene.tri_e0, scene.tri_e1),
+                o, d, scene.bvh.lo, scene.bvh.hi, scene.bvh.meta, tri_rows,
                 t_max,
             )
         return intersect_any_pallas(
@@ -130,7 +182,7 @@ class PathState(NamedTuple):
     prev_delta: jnp.ndarray  # (N,) last bounce was specular
 
 
-def _nee(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, mat, wo, inside):
+def _nee(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, mat, wo, inside, alive=None):
     """Next-event estimation at the hit points; returns (N,3) contribution."""
     n_lights = scene.num_lights
     ul = sampler.sample_1d(px, py, sample, depth_dim + R.Dim.LIGHT_SELECT)
@@ -142,7 +194,7 @@ def _nee(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, 
     ls = sample_light(lt, hit.pos, u1, u2, jnp.zeros_like(inside), hit.normal)
 
     shadow_o = offset_ray_origin(hit.pos, hit.error, hit.normal, ls.direction)
-    occluded = _any(scene, cfg, shadow_o, ls.direction, ls.distance)
+    occluded = _any(scene, cfg, shadow_o, ls.direction, ls.distance, alive=alive)
 
     f_cos, bsdf_pdf = eval_bsdf(
         mat, wo, ls.direction, hit.normal, hit.normal, inside, ft=cfg.features
@@ -161,13 +213,13 @@ def _nee(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, 
     return jnp.where(ok[..., None], contrib, 0.0)
 
 
-def _nee_env(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, mat, wo, inside):
+def _nee_env(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, mat, wo, inside, alive=None):
     """Envmap next-event estimation with MIS against BSDF sampling
     (Gen-1 evalTile env strategy, core-render.cpp:285-370)."""
     u1, u2 = sampler.sample_2d(px, py, sample, depth_dim + R.Dim.ENV_U)
     d_env, le, pdf_env = sample_envmap(scene.env, u1, u2)
     shadow_o = offset_ray_origin(hit.pos, hit.error, hit.normal, d_env)
-    occluded = _any(scene, cfg, shadow_o, d_env, 3.0e38)
+    occluded = _any(scene, cfg, shadow_o, d_env, 3.0e38, alive=alive)
     f_cos, bsdf_pdf = eval_bsdf(
         mat, wo, d_env, hit.normal, hit.normal, inside, ft=cfg.features
     )
@@ -208,7 +260,7 @@ def trace_paths(
 
     def bounce(depth, state: PathState) -> PathState:
         depth_dim = depth * R.DIMS_PER_BOUNCE
-        hit = _closest(scene, cfg, state.o, state.d)
+        hit = _closest(scene, cfg, state.o, state.d, alive=state.alive)
 
         # miss → environment, path dies (megakernel.cu:135-151). When the
         # env is also NEE-sampled, MIS-weight against the previous bounce's
@@ -234,11 +286,13 @@ def trace_paths(
         # shared by NEE evaluation and the bounce sample
         mat = scene.materials.gather(onehot_gather(scene.tri_mat, hit.tri))
         nee = _nee(
-            scene, cfg, sampler, px, py, sample, depth_dim, hit, mat, wo, state.inside
+            scene, cfg, sampler, px, py, sample, depth_dim, hit, mat, wo,
+            state.inside, alive=alive,
         )
         if cfg.env_nee:
             nee = nee + _nee_env(
-                scene, cfg, sampler, px, py, sample, depth_dim, hit, mat, wo, state.inside
+                scene, cfg, sampler, px, py, sample, depth_dim, hit, mat, wo,
+                state.inside, alive=alive,
             )
         radiance = radiance + jnp.where(
             alive[..., None], state.beta * nee, 0.0
