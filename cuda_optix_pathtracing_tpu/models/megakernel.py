@@ -40,6 +40,7 @@ from ..ops.bsdf import ALL_FEATURES, MatFeatures, eval_bsdf, sample_bsdf
 from ..ops.camera import generate_rays, pixel_centers
 from ..ops.envmap import eval_envmap, sample_envmap
 from ..ops.film import Film, film_add_batch, film_add_sample, film_new
+from ..ops.filters import make_filter_sampler, sample_filter
 from ..ops.gather import onehot_gather
 from ..ops.bvh_pallas import (
     bvh_any_pallas,
@@ -53,7 +54,7 @@ from ..ops.raysort import ray_sort_key, scene_bounds, sorted_apply, sorted_apply
 from ..ops.intersect import intersect_any, intersect_closest
 from ..ops.intersect_pallas import intersect_any_pallas, intersect_closest_pallas
 from ..ops.morton import is_pot_square, morton_pixel_order, unmorton_image
-from ..ops.lights import eval_light, sample_light
+from ..ops.lights import AREA, eval_light, sample_area_light, sample_light
 from ..ops.vecmath import max_component, offset_ray_origin, sqr
 from ..scene.types import Scene
 
@@ -80,6 +81,10 @@ class MegakernelConfig:
     # direction-octant|origin-Morton before packet-BVH traversal — makes
     # bounce/shadow batches coherent (the wavefront ray-regrouping idea);
     # auto = on whenever the scene has a BVH
+    pixel_filter: str = "box"  # "box" | "mitchell": camera-sample filter.
+    # mitchell = filter importance sampling through the tabulated
+    # inverse CDF with sign weights (reference FilterSampler,
+    # core-render.cuh:177-231); box = uniform 1px jitter (megakernel.cu)
 
 
 def _use_pallas(cfg: "MegakernelConfig") -> bool:
@@ -193,13 +198,29 @@ def _nee(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, 
     u1, u2 = sampler.sample_2d(px, py, sample, depth_dim + R.Dim.LIGHT_U)
     ls = sample_light(lt, hit.pos, u1, u2, jnp.zeros_like(inside), hit.normal)
 
-    shadow_o = offset_ray_origin(hit.pos, hit.error, hit.normal, ls.direction)
-    occluded = _any(scene, cfg, shadow_o, ls.direction, ls.distance, alive=alive)
+    direction = ls.direction
+    distance = ls.distance
+    pdf = ls.pdf
+    le = eval_light(lt, ls)
+    is_area = None
+    if scene.emissive is not None:
+        # area-light rows sample the emissive-triangle set by area; the
+        # shadow ray stops just short of the sampled point
+        is_area = lt.ltype == AREA
+        _, d_a, dist_a, pdf_a, le_a = sample_area_light(
+            scene.emissive, hit.pos, u1, u2
+        )
+        direction = jnp.where(is_area[..., None], d_a, direction)
+        distance = jnp.where(is_area, dist_a * 0.999, distance)
+        pdf = jnp.where(is_area, pdf_a, pdf)
+        le = jnp.where(is_area[..., None], le_a, le)
+
+    shadow_o = offset_ray_origin(hit.pos, hit.error, hit.normal, direction)
+    occluded = _any(scene, cfg, shadow_o, direction, distance, alive=alive)
 
     f_cos, bsdf_pdf = eval_bsdf(
-        mat, wo, ls.direction, hit.normal, hit.normal, inside, ft=cfg.features
+        mat, wo, direction, hit.normal, hit.normal, inside, ft=cfg.features
     )
-    le = eval_light(lt, ls)
 
     # Point/spot/directional lights are (soft-)delta emitters: they are not
     # scene geometry, so BSDF rays can never hit them and NEE is the *only*
@@ -209,7 +230,13 @@ def _nee(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, 
     # reference's non-delta branch, megakernel.cu:230-239, multiplies a
     # power-heuristic w≈1 and likewise never divides by the cone pdf.)
     contrib = le * f_cos / pmf
-    ok = (ls.pdf > 0.0) & ~occluded
+    if is_area is not None:
+        # area lights ARE scene geometry: one-sample power-heuristic MIS
+        # against the BSDF estimator (megakernel.cu:230-239 done right)
+        w = sqr(pdf) / jnp.maximum(sqr(pdf) + sqr(bsdf_pdf), 1e-24)
+        contrib_area = le * f_cos * (w / jnp.maximum(pdf, 1e-12) / pmf)[..., None]
+        contrib = jnp.where(is_area[..., None], contrib_area, contrib)
+    ok = (pdf > 0.0) & ~occluded
     return jnp.where(ok[..., None], contrib, 0.0)
 
 
@@ -259,6 +286,24 @@ def trace_paths(
     )
 
     def bounce(depth, state: PathState) -> PathState:
+        return bounce_step(scene, cfg, sampler, px, py, sample, depth, state)
+
+    # Python-unrolled depth loop: keeps RNG dimensions static (required for
+    # the Halton sampler's prime-base selection) and lets XLA pipeline the
+    # bounces. remat → backward replays each bounce from RNG counters.
+    body = jax.checkpoint(bounce, static_argnums=(0,)) if cfg.remat else bounce
+    for depth in range(cfg.max_depth):
+        state = body(depth, state)
+    return state.radiance
+
+
+def bounce_step(scene: Scene, cfg, sampler, px, py, sample, depth, state: PathState) -> PathState:
+    """One path-tracing bounce over the full ray batch (shared by the
+    megakernel's unrolled loop and the wavefront model's dynamic loop).
+    ``depth`` may be a Python int (megakernel) or a traced scalar
+    (wavefront; hash sampler only)."""
+    n = state.o.shape[0]
+    if True:  # (kept at original indentation)
         depth_dim = depth * R.DIMS_PER_BOUNCE
         hit = _closest(scene, cfg, state.o, state.d, alive=state.alive)
 
@@ -285,6 +330,29 @@ def trace_paths(
         # one material fetch per bounce (one-hot MXU gathers, ops/gather.py),
         # shared by NEE evaluation and the bounce sample
         mat = scene.materials.gather(onehot_gather(scene.tri_mat, hit.tri))
+
+        if scene.emissive is not None:
+            # directly-hit emitter: MIS-weighted against the NEE estimator
+            # (weight 1 after delta bounces / the camera)
+            pmf_area = 1.0 / scene.num_lights
+            cos_l = jnp.abs(jnp.sum(state.d * hit.normal, axis=-1))
+            pdf_hit = (
+                sqr(hit.t)
+                / jnp.maximum(cos_l * scene.emissive.area, 1e-12)
+                * pmf_area
+            )
+            w_em = jnp.where(
+                state.prev_delta,
+                1.0,
+                sqr(state.prev_pdf)
+                / jnp.maximum(sqr(state.prev_pdf) + sqr(pdf_hit), 1e-24),
+            )
+            emit_ok = alive  # two-sided emission (Cycles mesh emitters)
+            radiance = radiance + jnp.where(
+                emit_ok[..., None],
+                state.beta * mat.emission * w_em[..., None],
+                0.0,
+            )
         nee = _nee(
             scene, cfg, sampler, px, py, sample, depth_dim, hit, mat, wo,
             state.inside, alive=alive,
@@ -339,14 +407,6 @@ def trace_paths(
             prev_delta=jnp.where(alive, bs.delta, state.prev_delta),
         )
 
-    # Python-unrolled depth loop: keeps RNG dimensions static (required for
-    # the Halton sampler's prime-base selection) and lets XLA pipeline the
-    # bounces. remat → backward replays each bounce from RNG counters.
-    body = jax.checkpoint(bounce, static_argnums=(0,)) if cfg.remat else bounce
-    for depth in range(cfg.max_depth):
-        state = body(depth, state)
-    return state.radiance
-
 
 def render_sample_batch(scene: Scene, cfg: MegakernelConfig, width, height, sample, nspp: int = 1):
     """Render ``nspp`` samples for every pixel → (nspp, H, W, 3) radiance
@@ -375,10 +435,18 @@ def render_sample_batch(scene: Scene, cfg: MegakernelConfig, width, height, samp
     px = pix[:, 0].astype(jnp.uint32)
     py = pix[:, 1].astype(jnp.uint32)
     sampler = R.Sampler(cfg.sampler, cfg.seed)
-    jx, jy = sampler.sample_2d(px, py, sample, R.Dim.CAMERA_U)
-    p_film = pix + jnp.stack([jx, jy], axis=-1)
+    u1, u2 = sampler.sample_2d(px, py, sample, R.Dim.CAMERA_U)
+    if cfg.pixel_filter == "mitchell":
+        fs = make_filter_sampler()
+        dx, dy, fw = sample_filter(fs, u1, u2)
+        p_film = pix + 0.5 + jnp.stack([dx, dy], axis=-1)
+    else:
+        fw = None
+        p_film = pix + jnp.stack([u1, u2], axis=-1)
     o, d = generate_rays(p_film, scene.cam_from_raster, scene.world_from_cam)
     radiance = trace_paths(scene, cfg, px, py, sample, o, d)
+    if fw is not None:
+        radiance = radiance * fw[:, None]
     if morton:
         if nspp > 1:
             per = radiance.reshape(nspp, height * width, 3)

@@ -144,6 +144,7 @@ class MaterialTable(NamedTuple):
     trans_tint: jnp.ndarray  # (M,3)
     cond_eta: jnp.ndarray  # (M,3)
     cond_k: jnp.ndarray  # (M,3)
+    emission: jnp.ndarray  # (M,3) emitted radiance (area lights)
 
     def gather(self, idx):
         from .gather import onehot_gather_pytree
@@ -162,6 +163,17 @@ def oren_nayar(color, roughness: float) -> dict:
 
 def lambert(color=(1.0, 1.0, 1.0)) -> dict:
     return dict(mtype=LAMBERT, albedo=np.asarray(color, np.float32))
+
+
+def diffuse_light(radiance, color=(0.0, 0.0, 0.0)) -> dict:
+    """Emissive (area-light) material: one-sided Le = ``radiance`` from
+    the geometric front face (PBRT AreaLightSource "diffuse" semantics,
+    scenes/cornell-box.pbrt:37-43); ``color`` is the surface albedo."""
+    return dict(
+        mtype=LAMBERT,
+        albedo=np.asarray(color, np.float32),
+        emission=np.asarray(radiance, np.float32),
+    )
 
 
 def ggx_dielectric(refl_tint, trans_tint, phi0, eta, alphax, alphay) -> dict:
@@ -201,6 +213,7 @@ _DEFAULTS = dict(
     trans_tint=(0.0, 0.0, 0.0),
     cond_eta=(0.2, 0.4, 1.3),
     cond_k=(3.4, 2.3, 1.7),
+    emission=(0.0, 0.0, 0.0),
 )
 
 
@@ -229,6 +242,7 @@ def make_material_table(materials: Sequence[dict]) -> MaterialTable:
         trans_tint=col("trans_tint", 3),
         cond_eta=col("cond_eta", 3),
         cond_k=col("cond_k", 3),
+        emission=col("emission", 3),
     )
 
 

@@ -98,25 +98,48 @@ def make_piecewise_2d(func) -> Piecewise2D:
     )
 
 
+# below this table area, row gathers run as one-hot matmuls (MXU) and
+# in-row element picks as iota-masked sums — no generic gathers
+_SMALL_2D = 64 * 64
+
+
 def sample_piecewise_2d(d: Piecewise2D, u1, u2):
     """(u1,u2) → ((x,y) ∈ [0,1)², pdf) with pdf in unit-square measure."""
+    from .gather import onehot_gather
+
     h, w = d.func.shape
+    small = h * w <= _SMALL_2D
     # marginal over rows (y) from u2
     row = jnp.clip(jnp.searchsorted(d.marg_cdf, u2, side="right") - 1, 0, h - 1)
-    m0 = d.marg_cdf[row]
-    m1 = d.marg_cdf[row + 1]
+    if small:
+        mm = onehot_gather(
+            jnp.stack([d.marg_cdf[:-1], d.marg_cdf[1:]], axis=1), row
+        )
+        m0, m1 = mm[..., 0], mm[..., 1]
+    else:
+        m0 = d.marg_cdf[row]
+        m1 = d.marg_cdf[row + 1]
     dv = (u2 - m0) / jnp.maximum(m1 - m0, 1e-12)
     y = (row.astype(jnp.float32) + dv) / h
     # conditional over columns (x) from u1, row-gathered CDF
-    ccdf = d.cond_cdf[row]  # (N, W+1)
+    if small:
+        ccdf = onehot_gather(d.cond_cdf, row)  # (N, W+1) via MXU
+    else:
+        ccdf = d.cond_cdf[row]
     col = jnp.clip(
         jax_searchsorted_rows(ccdf, u1) - 1, 0, w - 1
     )
-    c0 = jnp.take_along_axis(ccdf, col[..., None], axis=-1)[..., 0]
-    c1 = jnp.take_along_axis(ccdf, (col + 1)[..., None], axis=-1)[..., 0]
+    if small:
+        lane = jnp.arange(w + 1, dtype=jnp.int32)[None, :]
+        c0 = jnp.sum(jnp.where(lane == col[..., None], ccdf, 0.0), axis=-1)
+        c1 = jnp.sum(jnp.where(lane == (col + 1)[..., None], ccdf, 0.0), axis=-1)
+        f = onehot_gather(d.func.reshape(h * w, 1), row * w + col)[..., 0]
+    else:
+        c0 = jnp.take_along_axis(ccdf, col[..., None], axis=-1)[..., 0]
+        c1 = jnp.take_along_axis(ccdf, (col + 1)[..., None], axis=-1)[..., 0]
+        f = d.func[row, col]
     du = (u1 - c0) / jnp.maximum(c1 - c0, 1e-12)
     x = (col.astype(jnp.float32) + du) / w
-    f = d.func[row, col]
     safe_int = jnp.where(d.func_int > 0, d.func_int, 1.0)
     pdf = jnp.where(d.func_int > 0, f / safe_int, 1.0)
     return x, y, pdf

@@ -55,11 +55,15 @@ def make_filter_sampler(radius: float = 2.0, resolution: int = 32) -> FilterSamp
 def sample_filter(fs: FilterSampler, u1, u2):
     """(u1,u2) → (dx, dy, weight): film-plane offset in pixels and the
     sample weight sign(f) (|f|/pdf is a constant folded into the average)."""
+    from .gather import onehot_gather
+
     x01, y01, _pdf = sample_piecewise_2d(fs.dist, u1, u2)
     res = fs.table.shape[0]
     cx = jnp.clip((x01 * res).astype(jnp.int32), 0, res - 1)
     cy = jnp.clip((y01 * res).astype(jnp.int32), 0, res - 1)
-    w = jnp.sign(fs.table[cy, cx])
+    w = jnp.sign(
+        onehot_gather(fs.table.reshape(res * res, 1), cy * res + cx)[..., 0]
+    )
     dx = x01 * 2 * fs.radius - fs.radius
     dy = y01 * 2 * fs.radius - fs.radius
     return dx, dy, w

@@ -43,6 +43,8 @@ class ClosestHit(NamedTuple):
     pos: jnp.ndarray  # (N,3)
     normal: jnp.ndarray  # (N,3) geometric normal, flipped against ray
     error: jnp.ndarray  # (N,3) intersection error bound
+    front: jnp.ndarray  # (N,) bool: hit the geometric front face
+    # (the side cross(e0,e1) points toward — emission side of area lights)
 
 
 def _mt_candidates_tn(o, d, v0c, e0c, e1c):
@@ -176,10 +178,11 @@ def closest_epilogue(o, d, v0, e0, e1, best_t, best_i, t_max=None) -> ClosestHit
     best_u, best_v = _uv_for_tri(o, d, hv0, he0, he1)
     pos = hv0 + best_u[:, None] * he0 + best_v[:, None] * he1
     ng = normalize(cross(he1, he0))
+    front = jnp.sum(d * ng, axis=-1) > 0.0  # d against -cross(e0,e1) ⇒ front
     # flip normal against incident ray (megakernel.cu:128-130)
     ng = jnp.where(jnp.sum(d * ng, axis=-1, keepdims=True) > 0.0, -ng, ng)
     err = error_from_triangle_intersection(best_u, best_v, hv0, hv0 + he0, hv0 + he1)
-    return ClosestHit(hit, best_t, best_i, best_u, best_v, pos, ng, err)
+    return ClosestHit(hit, best_t, best_i, best_u, best_v, pos, ng, err, front)
 
 
 def intersect_any(o, d, v0, e0, e1, t_max, chunk: int = 32):

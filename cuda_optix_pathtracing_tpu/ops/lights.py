@@ -43,6 +43,9 @@ POINT = 0
 SPOT = 1
 ENV = 2
 DIRECTIONAL = 3
+AREA = 4  # emissive triangle set (net-new vs the reference's Gen-2 set;
+# capability parity with PBRT AreaLightSource used by the reference's
+# own verification scene, scenes/cornell-box.pbrt:37-43)
 
 BIG_DIST = 3.0e38
 
@@ -94,6 +97,86 @@ def directional_light(color, direction, one_minus_cos: float = 0.0) -> dict:
 
 def environment_light(color) -> dict:
     return dict(ltype=ENV, color=color)
+
+
+def area_light() -> dict:
+    """One table row representing the whole emissive-triangle set; the
+    geometry lives in the scene's EmissiveTable."""
+    return dict(ltype=AREA, color=(0.0, 0.0, 0.0))
+
+
+class EmissiveTable(NamedTuple):
+    """Flattened emissive-triangle set for area-light NEE."""
+
+    v0: jnp.ndarray  # (K,3)
+    e0: jnp.ndarray  # (K,3)
+    e1: jnp.ndarray  # (K,3)
+    rad: jnp.ndarray  # (K,3) one-sided radiance from the front face
+    cdf: jnp.ndarray  # (K+1,) area-weighted selection CDF
+    area: jnp.ndarray  # () total area
+
+
+def make_emissive_table(v0, e0, e1, rad) -> EmissiveTable:
+    v0 = np.asarray(v0, np.float32)
+    e0 = np.asarray(e0, np.float32)
+    e1 = np.asarray(e1, np.float32)
+    rad = np.asarray(rad, np.float32)
+    areas = 0.5 * np.linalg.norm(np.cross(e0, e1), axis=1)
+    total = max(float(areas.sum()), 1e-12)
+    cdf = np.concatenate([[0.0], np.cumsum(areas / total)]).astype(np.float32)
+    cdf[-1] = 1.0
+    return EmissiveTable(
+        jnp.asarray(v0), jnp.asarray(e0), jnp.asarray(e1), jnp.asarray(rad),
+        jnp.asarray(cdf), jnp.asarray(total, jnp.float32),
+    )
+
+
+def sample_area_light(em: EmissiveTable, position, u1, u2):
+    """Uniform-by-area sample of the emissive set from ``position``.
+
+    Returns (p (N,3), dir (N,3), dist (N,), pdf_solid (N,), le (N,3)).
+    Emission is **two-sided** (Cycles mesh-emitter semantics — also makes
+    mixed-winding light meshes like the reference's own
+    scenes/cornell-box.pbrt quad behave).
+    """
+    from .gather import onehot_gather_pytree
+
+    k = em.v0.shape[0]
+    tri = jnp.clip(jnp.searchsorted(em.cdf, u1, side="right") - 1, 0, k - 1)
+    # re-stratify u1 within the chosen triangle's cdf span
+    c0c1 = onehot_gather_pytree(
+        (jnp.stack([em.cdf[:-1], em.cdf[1:]], axis=1),), tri
+    )[0]
+    du = (u1 - c0c1[..., 0]) / jnp.maximum(c0c1[..., 1] - c0c1[..., 0], 1e-12)
+    tv0, te0, te1, trad = onehot_gather_pytree(
+        (em.v0, em.e0, em.e1, em.rad), tri
+    )
+    # uniform barycentrics from (du, u2)
+    su = safe_sqrt(du)
+    b1 = 1.0 - su
+    b2 = u2 * su
+    p = tv0 + b1[..., None] * te0 + b2[..., None] * te1
+    n_e = jnp.cross(te0, te1)
+    n_len = jnp.maximum(length(n_e), 1e-12)
+    n_e = n_e / n_len[..., None]
+    to_p = p - position
+    dist_sqr = jnp.maximum(jnp.sum(to_p * to_p, axis=-1), 1e-12)
+    dist = jnp.sqrt(dist_sqr)
+    d = to_p / dist[..., None]
+    cos_l = jnp.abs(dot(d, n_e))  # two-sided emission
+    pdf_solid = dist_sqr / jnp.maximum(cos_l * em.area, 1e-12)
+    le = jnp.where((cos_l > 1e-6)[..., None], trad, 0.0)
+    pdf_solid = jnp.where(cos_l > 1e-6, pdf_solid, 0.0)
+    return p, d, dist, pdf_solid, le
+
+
+def area_light_hit_pdf(em_area, pos, hit_p, d, n_e):
+    """Solid-angle pdf that area-NEE would have generated the bsdf-ray
+    hit at ``hit_p`` (for MIS weighting of directly-hit emitters)."""
+    to_p = hit_p - pos
+    dist_sqr = jnp.maximum(jnp.sum(to_p * to_p, axis=-1), 1e-12)
+    cos_l = jnp.abs(dot(d, n_e))
+    return dist_sqr / jnp.maximum(cos_l * em_area, 1e-12)
 
 
 _DEFAULTS = dict(

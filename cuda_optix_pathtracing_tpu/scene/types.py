@@ -17,7 +17,13 @@ import numpy as np
 from ..ops.bsdf import MaterialTable, make_material_table
 from ..ops.bvh import PackedBVH, build_bvh, pack_bvh, permute_tri_array
 from ..ops.envmap import EnvMap, constant_envmap, make_envmap
-from ..ops.lights import LightTable, make_light_table
+from ..ops.lights import (
+    EmissiveTable,
+    LightTable,
+    area_light,
+    make_emissive_table,
+    make_light_table,
+)
 from ..ops.camera import CameraConfig, camera_from_raster, world_from_camera
 
 # scenes at or above this many triangles get a BVH at build time; below it
@@ -43,6 +49,7 @@ class Scene(NamedTuple):
     cam_from_raster: jnp.ndarray  # (4,4)
     world_from_cam: jnp.ndarray  # (4,4)
     bvh: Optional[PackedBVH] = None
+    emissive: Optional[EmissiveTable] = None  # area-light triangle set
 
     @property
     def num_triangles(self):
@@ -83,8 +90,7 @@ class HostScene:
 def scene_from_host(hs: HostScene, use_bvh: Optional[bool] = None) -> Scene:
     tris = np.stack(hs.triangles).astype(np.float32)  # (T,3,3)
     cam = hs.camera
-    # NEE needs ≥1 light row; a zero-intensity point light is a no-op filler
-    lights = hs.lights if hs.lights else [dict(ltype=0, color=(0.0, 0.0, 0.0))]
+    lights = list(hs.lights)
     if hs.env_image is not None:
         env = make_envmap(hs.env_image, hs.env_rotation)
     else:
@@ -94,6 +100,27 @@ def scene_from_host(hs: HostScene, use_bvh: Optional[bool] = None) -> Scene:
     e0 = tris[:, 1] - tris[:, 0]
     e1 = tris[:, 2] - tris[:, 0]
     tri_mat = np.asarray(hs.tri_mat, np.int32)
+
+    # emissive triangles (materials with emission > 0) become ONE area
+    # light row; their geometry is flattened into an EmissiveTable
+    emission_by_mat = np.stack(
+        [
+            np.broadcast_to(np.asarray(m.get("emission", (0.0,) * 3), np.float32), (3,))
+            for m in hs.materials
+        ]
+    ) if hs.materials else np.zeros((0, 3), np.float32)
+    emissive = None
+    if len(emission_by_mat) and (emission_by_mat.max() > 0):
+        em_mask = emission_by_mat[tri_mat].max(axis=1) > 0
+        if em_mask.any():
+            emissive = make_emissive_table(
+                v0[em_mask], e0[em_mask], e1[em_mask],
+                emission_by_mat[tri_mat[em_mask]],
+            )
+            lights = lights + [area_light()]
+    # NEE needs ≥1 light row; a zero-intensity point light is a no-op filler
+    if not lights:
+        lights = [dict(ltype=0, color=(0.0, 0.0, 0.0))]
     bvh = None
     if use_bvh if use_bvh is not None else (len(tris) >= BVH_THRESHOLD):
         bvh = pack_bvh(build_bvh(v0, e0, e1))
@@ -115,4 +142,5 @@ def scene_from_host(hs: HostScene, use_bvh: Optional[bool] = None) -> Scene:
         ),
         world_from_cam=world_from_camera(cam.direction, cam.position),
         bvh=bvh,
+        emissive=emissive,
     )

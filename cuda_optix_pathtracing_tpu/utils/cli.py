@@ -40,6 +40,17 @@ def main(argv=None) -> int:
 
     if cfg.scene == "cornell":
         scene = cornell_box(cfg.width, cfg.height)
+    elif cfg.scene == "cornell-mesh":
+        from ..scene.procedural import cornell_box_mesh
+
+        scene = cornell_box_mesh(cfg.width, cfg.height)
+    elif cfg.scene.endswith(".pbrt"):
+        from ..scene.pbrt import load_pbrt
+
+        scene, meta = load_pbrt(cfg.scene)
+        cfg.width, cfg.height = meta.width, meta.height
+        if meta.spp and cfg.spp == 128:
+            cfg.spp = meta.spp
     else:
         from ..scene.parser import load_scene
 
@@ -54,8 +65,11 @@ def main(argv=None) -> int:
         cfg.scene, cfg.width, cfg.height, cfg.spp, cfg.max_depth, cfg.sampler,
     )
 
+    from ..ops.bsdf import mat_features_from_table
+
     mk = MegakernelConfig(
-        max_depth=cfg.max_depth, sampler=cfg.sampler, seed=cfg.seed, remat=False
+        max_depth=cfg.max_depth, sampler=cfg.sampler, seed=cfg.seed, remat=False,
+        features=mat_features_from_table(scene.materials),
     )
 
     film = None
