@@ -178,21 +178,36 @@ def error_from_triangle_intersection(u, v, p0, p1, p2):
 
 
 def next_float_toward_inf(x, positive):
-    """nextafter(x, ±inf) selected elementwise by sign flag ``positive``."""
-    up = jnp.nextafter(x, jnp.inf)
-    dn = jnp.nextafter(x, -jnp.inf)
-    return jnp.where(positive, up, dn)
+    """nextafter(x, ±inf) selected elementwise by sign flag ``positive``.
+
+    The ULP nudge is a purely numerical detail (watertightness), so gradients
+    pass through as identity: ``nextafter`` has no JAX differentiation rule,
+    and d(nextafter(x))/dx == 1 almost everywhere anyway.
+    """
+    import jax.lax as lax
+
+    up = jnp.nextafter(lax.stop_gradient(x), jnp.inf)
+    dn = jnp.nextafter(lax.stop_gradient(x), -jnp.inf)
+    nudged = jnp.where(positive, up, dn)
+    return x + lax.stop_gradient(nudged - lax.stop_gradient(x))
 
 
 def offset_ray_origin(p, error, ng, w):
     """Offset ray origin off the surface along ±ng by the error bound, then
     round each component away from the surface (reference extra_math.cuh:36-59).
+
+    The entire offset (error-bound shift + ULP rounding) is detached from the
+    autodiff graph: it exists only to avoid self-intersection, and its
+    magnitude must not contribute gradients (it is O(ulp) and its derivative
+    is meaningless). Gradients flow through ``p`` with identity.
     """
+    import jax.lax as lax
+
     d = dot(jnp.abs(ng), error, keepdims=True)
     offset = ng * d
     offset = jnp.where(dot(w, ng, keepdims=True) < 0.0, -offset, offset)
-    po = p + offset
-    return next_float_toward_inf(po, offset > 0.0)
+    po = p + lax.stop_gradient(offset)
+    return next_float_toward_inf(po, lax.stop_gradient(offset) > 0.0)
 
 
 # ---------------------------------------------------------------------------

@@ -27,6 +27,16 @@ from ..ops.camera import generate_rays, pixel_centers
 from ..ops.film import Film
 from ..scene.types import Scene
 
+# JAX 0.9's direct-linearize path has no linearization rule for ``remat2``
+# under shard_map: chained ``jax.checkpoint`` bounces inside a sharded
+# value_and_grad fail with "Linearization failed to produce known values
+# for all output primals" (plain grads are fine; only shard_map + remat
+# trips it). Fall back to the classic JVP+partial-eval linearizer, which
+# handles remat everywhere. Scoped here: this module is the multi-chip
+# entry point, and the flag must be set before the sharded train step is
+# traced.
+jax.config.update("jax_use_direct_linearize", False)
+
 shard_map = jax.shard_map
 
 
