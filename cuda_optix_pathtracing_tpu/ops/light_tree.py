@@ -1,0 +1,496 @@
+"""Many-lights light tree (Conty Estevez & Kulla, HPG 2018).
+
+Capability parity with the reference's Gen-1 light tree
+(core-light-tree-builder.cpp:306-569, core-light-tree-builder.h:17-110):
+a binary BVH over *light records* (point/spot light rows + individual
+emissive triangles) built host-side with the summed-area-orientation
+heuristic (SAOH), importance-driven stochastic traversal at shading time,
+deterministic root splitting (≤4 selected lights per the reference's
+adaptive split budget), and exact PMF recovery from per-record bit trails
+for MIS against BSDF sampling.
+
+TPU re-design (nothing like the reference's recursive pointer walk):
+
+- the tree is flattened into one packed ``(M, F)`` float feature matrix;
+  each descent level gathers BOTH children of every ray's current node
+  with two one-hot matmuls on the MXU (ops/gather.py) — no scalar loops;
+- traversal is a **static-depth** Python-unrolled loop (depth = tree
+  height, a host constant), so the whole descent jits into straight-line
+  vector code: rays that reach a leaf early simply stop advancing;
+- PMF recovery replays the same descent along a record's bit trail
+  instead of sampling, multiplying branch probabilities — the functional
+  equivalent of the reference's bit-trail PMF walk
+  (core-light-tree-builder.h:74-110);
+- "adaptive splitting" becomes a deterministic breadth-first frontier
+  expansion of the root to ``n_split`` subtrees (evaluate every subtree,
+  sample stochastically *below* it) — same estimator family, fixed
+  shapes, ≤4 shadow rays.
+
+Importance of a cluster seen from a shading point follows the published
+formula: energy × cos(θ') × cos(θ_i') / d², where θ' discounts the
+cluster's orientation-cone half-angle θ_o and the uncertainty angle θ_u
+subtended by the cluster, zero beyond the falloff width θ_e
+(Conty & Kulla 2018, §4; reference summedAreaOrientationHeuristic,
+core-light-tree-builder.h:58).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .gather import onehot_gather
+
+REC_ROW = 0  # record is a LightTable row (point/spot)
+REC_TRI = 1  # record is an emissive triangle
+
+_BINS = 12
+
+
+# ---------------------------------------------------------------------------
+# host-side build
+# ---------------------------------------------------------------------------
+
+
+class _Rec(NamedTuple):
+    kind: int
+    idx: int
+    lo: np.ndarray
+    hi: np.ndarray
+    axis: np.ndarray
+    theta_o: float
+    theta_e: float
+    energy: float
+
+
+def _cone_union(a_axis, a_o, b_axis, b_o):
+    """Merge two orientation cones → (axis, theta_o). Standard published
+    construction (Conty & Kulla 2018 §4.1): new half-angle spans both."""
+    if b_o > a_o:
+        a_axis, a_o, b_axis, b_o = b_axis, b_o, a_axis, a_o
+    d = float(np.clip(np.dot(a_axis, b_axis), -1.0, 1.0))
+    theta_d = math.acos(d)
+    if min(theta_d + b_o, math.pi) <= a_o:
+        return a_axis, a_o  # a already covers b
+    theta_o = (theta_d + a_o + b_o) * 0.5
+    if theta_o >= math.pi:
+        return a_axis, math.pi
+    # rotate a_axis toward b_axis by (theta_o - a_o)
+    rot = theta_o - a_o
+    w = np.cross(a_axis, b_axis)
+    wl = np.linalg.norm(w)
+    if wl < 1e-9:
+        return a_axis, math.pi if theta_d > 1e-6 else theta_o
+    w = w / wl
+    # Rodrigues rotation of a_axis around w by rot
+    ca, sa = math.cos(rot), math.sin(rot)
+    axis = (
+        a_axis * ca
+        + np.cross(w, a_axis) * sa
+        + w * np.dot(w, a_axis) * (1.0 - ca)
+    )
+    n = np.linalg.norm(axis)
+    return (axis / n if n > 0 else a_axis), theta_o
+
+
+def _orientation_measure(theta_o: float, theta_e: float) -> float:
+    """Solid-angle measure M_Ω of an orientation cone with falloff
+    (Conty & Kulla 2018, eq. 1)."""
+    theta_w = min(theta_o + theta_e, math.pi)
+    so = math.sin(theta_o)
+    return 2.0 * math.pi * (1.0 - math.cos(theta_o)) + 0.5 * math.pi * (
+        2.0 * theta_w * so
+        - math.cos(theta_o - 2.0 * theta_w)
+        + 2.0 * theta_o * so
+        + math.cos(theta_o)
+    )
+
+
+def _surface_area(lo, hi) -> float:
+    d = np.maximum(hi - lo, 0.0)
+    return float(2.0 * (d[0] * d[1] + d[1] * d[2] + d[2] * d[0]) + 1e-8)
+
+
+def _cluster_of(recs: Sequence[_Rec]):
+    lo = np.min([r.lo for r in recs], axis=0)
+    hi = np.max([r.hi for r in recs], axis=0)
+    axis, theta_o = recs[0].axis, recs[0].theta_o
+    for r in recs[1:]:
+        axis, theta_o = _cone_union(axis, theta_o, r.axis, r.theta_o)
+    theta_e = max(r.theta_e for r in recs)
+    energy = float(sum(r.energy for r in recs))
+    return lo, hi, axis, theta_o, theta_e, energy
+
+
+def _saoh(recs) -> float:
+    lo, hi, _, theta_o, theta_e, energy = _cluster_of(recs)
+    return energy * _orientation_measure(theta_o, theta_e) * _surface_area(lo, hi)
+
+
+@dataclass(frozen=True)
+class LightTree:
+    """Flattened light BVH. ``feat`` packs per-node
+    [lo(3), hi(3), axis(3), theta_o, theta_e, energy, left, right, rec] so
+    one MXU gather fetches everything a descent level needs. ``depth``,
+    ``n_records``, ``n_infinite`` are static pytree metadata (host ints
+    driving loop unrolling)."""
+
+    feat: jnp.ndarray  # (M, 15) f32
+    rec_kind: jnp.ndarray  # (R,) i32
+    rec_idx: jnp.ndarray  # (R,) i32
+    trail: jnp.ndarray  # (R,) u32 branch bits, LSB = root level
+    trail_len: jnp.ndarray  # (R,) i32
+    rec_energy: jnp.ndarray  # (R,) f32 (diagnostics/tests)
+    infinite_rows: jnp.ndarray  # (I,) i32 ENV/DIRECTIONAL LightTable rows
+    depth: int = 0
+    n_records: int = 0
+    n_infinite: int = 0
+
+
+jax.tree_util.register_dataclass(
+    LightTree,
+    data_fields=(
+        "feat", "rec_kind", "rec_idx", "trail", "trail_len", "rec_energy",
+        "infinite_rows",
+    ),
+    meta_fields=("depth", "n_records", "n_infinite"),
+)
+
+
+def _records_from_lights(
+    ltype, color, pos, direction, cos_theta0, cos_theta_e, radius
+) -> list[_Rec]:
+    """LightTable rows (host numpy copies) → tree records. ENV/DIRECTIONAL
+    rows are infinite and excluded (handled by the 50/50 strategy)."""
+    from .lights import POINT, SPOT
+
+    recs = []
+    for i in range(len(ltype)):
+        t = int(ltype[i])
+        lum = float(np.mean(color[i]))
+        if t == POINT:
+            r = max(float(radius[i]), 1e-3)
+            recs.append(
+                _Rec(
+                    REC_ROW, i, pos[i] - r, pos[i] + r,
+                    np.array([0.0, 0.0, 1.0]), math.pi, math.pi / 2,
+                    lum * 4.0 * math.pi,
+                )
+            )
+        elif t == SPOT:
+            r = max(float(radius[i]), 1e-3)
+            to = math.acos(float(np.clip(cos_theta0[i], -1, 1)))
+            te_abs = math.acos(float(np.clip(cos_theta_e[i], -1, 1)))
+            recs.append(
+                _Rec(
+                    REC_ROW, i, pos[i] - r, pos[i] + r,
+                    np.asarray(direction[i], np.float64), to,
+                    max(te_abs - to, 1e-3),
+                    lum * 2.0 * math.pi * (1.0 - 0.5 * (cos_theta0[i] + cos_theta_e[i])),
+                )
+            )
+    return recs
+
+
+def _records_from_emissive(v0, e0, e1, rad) -> list[_Rec]:
+    recs = []
+    for i in range(len(v0)):
+        p0 = np.asarray(v0[i], np.float64)
+        p1 = p0 + np.asarray(e0[i], np.float64)
+        p2 = p0 + np.asarray(e1[i], np.float64)
+        lo = np.minimum(np.minimum(p0, p1), p2)
+        hi = np.maximum(np.maximum(p0, p1), p2)
+        n = np.cross(p1 - p0, p2 - p0)
+        area = 0.5 * np.linalg.norm(n)
+        axis = n / max(np.linalg.norm(n), 1e-12)
+        lum = float(np.mean(rad[i]))
+        # two-sided emitters: cone covers both hemispheres → theta_o = π/2
+        recs.append(
+            _Rec(
+                REC_TRI, i, lo, hi, axis, math.pi / 2, math.pi / 2,
+                lum * area * 2.0 * math.pi,
+            )
+        )
+    return recs
+
+
+def build_light_tree(
+    lights=None, emissive=None
+) -> tuple[Optional[LightTree], np.ndarray]:
+    """Build the tree over finite LightTable rows + emissive triangles.
+
+    Returns (tree | None, emissive_rec): ``emissive_rec[k]`` is the record
+    id of emissive-table triangle ``k`` (for MIS PMF recovery on direct
+    emitter hits).
+    """
+    from .lights import DIRECTIONAL, ENV
+
+    recs: list[_Rec] = []
+    inf_rows: list[int] = []
+    if lights is not None:
+        lt_np = np.asarray(lights.ltype)
+        inf_rows = [int(i) for i in np.where(
+            (lt_np == ENV) | (lt_np == DIRECTIONAL)
+        )[0]]
+        recs += _records_from_lights(
+            np.asarray(lights.ltype), np.asarray(lights.color),
+            np.asarray(lights.pos, np.float64), np.asarray(lights.direction, np.float64),
+            np.asarray(lights.cos_theta0), np.asarray(lights.cos_theta_e),
+            np.asarray(lights.radius),
+        )
+    n_em = 0
+    if emissive is not None:
+        em_recs = _records_from_emissive(
+            np.asarray(emissive.v0), np.asarray(emissive.e0),
+            np.asarray(emissive.e1), np.asarray(emissive.rad),
+        )
+        n_em = len(em_recs)
+        recs += em_recs
+    if not recs:
+        return None, np.zeros((0,), np.int32)
+
+    # ---- recursive SAOH build (explicit stack) ----
+    nodes = []  # dicts; children patched in
+    rec_trail = np.zeros((len(recs),), np.uint32)
+    rec_tlen = np.zeros((len(recs),), np.int32)
+    rec_order: list[int] = []  # record ids leaf order (unused but kept)
+
+    def make_node(rec_ids, depth, trail):
+        sub = [recs[i] for i in rec_ids]
+        lo, hi, axis, theta_o, theta_e, energy = _cluster_of(sub)
+        node_id = len(nodes)
+        nodes.append(
+            dict(lo=lo, hi=hi, axis=axis, theta_o=theta_o, theta_e=theta_e,
+                 energy=energy, left=-1, right=-1, depth=depth)
+        )
+        if len(rec_ids) == 1:
+            r = rec_ids[0]
+            nodes[node_id]["right"] = r  # leaf: right = record id
+            rec_trail[r] = trail
+            rec_tlen[r] = depth
+            rec_order.append(r)
+            return node_id
+        # binned SAOH over all 3 axes of the centroid bounds
+        cents = np.stack([(recs[i].lo + recs[i].hi) * 0.5 for i in rec_ids])
+        best = None
+        for ax in range(3):
+            cmin, cmax = cents[:, ax].min(), cents[:, ax].max()
+            if cmax - cmin < 1e-12:
+                continue
+            which = np.minimum(
+                ((cents[:, ax] - cmin) / (cmax - cmin) * _BINS).astype(int),
+                _BINS - 1,
+            )
+            for cut in range(1, _BINS):
+                l_ids = [rid for rid, w in zip(rec_ids, which) if w < cut]
+                r_ids = [rid for rid, w in zip(rec_ids, which) if w >= cut]
+                if not l_ids or not r_ids:
+                    continue
+                cost = _saoh([recs[i] for i in l_ids]) + _saoh(
+                    [recs[i] for i in r_ids]
+                )
+                if best is None or cost < best[0]:
+                    best = (cost, l_ids, r_ids)
+        if best is None:  # coincident centroids → median split
+            half = len(rec_ids) // 2
+            best = (0.0, list(rec_ids[:half]), list(rec_ids[half:]))
+        _, l_ids, r_ids = best
+        nodes[node_id]["left"] = make_node(l_ids, depth + 1, trail)
+        nodes[node_id]["right"] = make_node(
+            r_ids, depth + 1, trail | np.uint32(1 << depth)
+        )
+        return node_id
+
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 4 * len(recs) + 64))
+    try:
+        make_node(list(range(len(recs))), 0, np.uint32(0))
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+    depth = int(max(n["depth"] for n in nodes))
+    m = len(nodes)
+    feat = np.zeros((m, 13), np.float32)
+    for i, n in enumerate(nodes):
+        is_leaf = n["left"] < 0
+        feat[i, 0:3] = n["lo"]
+        feat[i, 3:6] = n["hi"]
+        feat[i, 6:9] = n["axis"]
+        feat[i, 9] = n["theta_o"]
+        feat[i, 10] = n["theta_e"]
+        feat[i, 11] = n["energy"]
+        # leaves: both "children" point at the node itself so the padded
+        # static-depth descent is a harmless self-loop
+        feat[i, 12] = i if is_leaf else n["left"]
+        # right child index rides in a second int lane packed below
+    right = np.array(
+        [i if n["left"] < 0 else n["right"] for i, n in enumerate(nodes)],
+        np.float32,
+    )
+    feat = np.concatenate([feat, right[:, None]], axis=1)  # (M, 14)
+    # leaf record id (−1 for internal) as an extra lane for the final lookup
+    leaf_rec = np.array(
+        [n["right"] if n["left"] < 0 else -1 for n in nodes], np.float32
+    )
+    feat = np.concatenate([feat, leaf_rec[:, None]], axis=1)  # (M, 15)
+
+    tree = LightTree(
+        feat=jnp.asarray(feat),
+        rec_kind=jnp.asarray([r.kind for r in recs], jnp.int32),
+        rec_idx=jnp.asarray([r.idx for r in recs], jnp.int32),
+        trail=jnp.asarray(rec_trail),
+        trail_len=jnp.asarray(rec_tlen),
+        rec_energy=jnp.asarray([r.energy for r in recs], jnp.float32),
+        infinite_rows=jnp.asarray(inf_rows or [0], jnp.int32),
+        depth=depth,
+        n_records=len(recs),
+        n_infinite=len(inf_rows),
+    )
+    emissive_rec = np.array(
+        [i for i, r in enumerate(recs) if r.kind == REC_TRI], np.int32
+    )
+    return tree, emissive_rec
+
+
+# ---------------------------------------------------------------------------
+# device-side importance + traversal
+# ---------------------------------------------------------------------------
+
+_F_LO, _F_HI, _F_AXIS = slice(0, 3), slice(3, 6), slice(6, 9)
+_F_TO, _F_TE, _F_EN, _F_LEFT, _F_RIGHT, _F_REC = 9, 10, 11, 12, 13, 14
+
+
+def _importance(f, p, n):
+    """Cluster importance from shading point ``p`` with normal ``n``.
+    ``f``: (N, 15) gathered node features."""
+    lo, hi = f[:, _F_LO], f[:, _F_HI]
+    axis = f[:, _F_AXIS]
+    theta_o, theta_e, energy = f[:, _F_TO], f[:, _F_TE], f[:, _F_EN]
+    center = 0.5 * (lo + hi)
+    half = 0.5 * (hi - lo)
+    r2 = jnp.sum(half * half, axis=-1)
+    d = p - center
+    d2 = jnp.sum(d * d, axis=-1)
+    d2c = jnp.maximum(d2, r2)  # don't blow up inside/next to the cluster
+    dist = jnp.sqrt(jnp.maximum(d2, 1e-20))
+    wi = d / dist[..., None]  # cluster → shading point
+    cos_t = jnp.clip(jnp.sum(axis * wi, axis=-1), -1.0, 1.0)
+    theta = jnp.arccos(cos_t)
+    sin_u = jnp.clip(jnp.sqrt(r2) / dist, 0.0, 1.0)
+    theta_u = jnp.arcsin(sin_u)
+    theta_p = jnp.maximum(theta - theta_o - theta_u, 0.0)
+    emitted = jnp.where(theta_p < theta_e, jnp.cos(theta_p), 0.0)
+    # incident-angle bound (diffuse surfaces; |cos| → two-sided BSDFs)
+    cos_i = jnp.clip(jnp.abs(jnp.sum(n * (-wi), axis=-1)), 0.0, 1.0)
+    theta_i = jnp.arccos(cos_i)
+    cos_ip = jnp.cos(jnp.maximum(theta_i - theta_u, 0.0))
+    return jnp.maximum(energy * emitted * cos_ip / jnp.maximum(d2c, 1e-8), 0.0)
+
+
+def _children(tree: LightTree, node):
+    f = onehot_gather(tree.feat, node)  # (N, 15)
+    left = jnp.round(f[:, _F_LEFT]).astype(jnp.int32)
+    right = jnp.round(f[:, _F_RIGHT]).astype(jnp.int32)
+    is_leaf = jnp.round(f[:, _F_REC]).astype(jnp.int32) >= 0
+    return f, left, right, is_leaf
+
+
+def sample_light_tree(tree: LightTree, p, n, u, root=None):
+    """Stochastic importance descent from ``root`` (default: node 0).
+
+    Returns (record (N,) i32, pmf (N,) f32). ``u`` is consumed and
+    rescaled at every level (standard CDF-inversion reuse)."""
+    npts = p.shape[0]
+    node = (
+        jnp.zeros((npts,), jnp.int32) if root is None
+        else jnp.broadcast_to(root, (npts,)).astype(jnp.int32)
+    )
+    pmf = jnp.ones((npts,), jnp.float32)
+    for _ in range(tree.depth):
+        f, left, right, is_leaf = _children(tree, node)
+        fl = onehot_gather(tree.feat, left)
+        fr = onehot_gather(tree.feat, right)
+        il = _importance(fl, p, n)
+        ir = _importance(fr, p, n)
+        tot = il + ir
+        pl = jnp.where(tot > 0, il / jnp.maximum(tot, 1e-30), 0.5)
+        go_left = u < pl
+        u = jnp.clip(
+            jnp.where(
+                go_left,
+                u / jnp.maximum(pl, 1e-12),
+                (u - pl) / jnp.maximum(1.0 - pl, 1e-12),
+            ),
+            0.0,
+            1.0 - 1e-7,
+        )
+        step_p = jnp.where(go_left, pl, 1.0 - pl)
+        node = jnp.where(is_leaf, node, jnp.where(go_left, left, right))
+        pmf = jnp.where(is_leaf, pmf, pmf * step_p)
+    f = onehot_gather(tree.feat, node)
+    rec = jnp.round(f[:, _F_REC]).astype(jnp.int32)
+    return jnp.maximum(rec, 0), pmf
+
+
+def light_tree_pmf(tree: LightTree, rec, p, n, split_levels: int = 0):
+    """PMF that ``sample_light_tree`` (below a frontier split of
+    ``split_levels`` deterministic levels) selects record ``rec`` from
+    ``p``/``n`` — the bit-trail PMF walk
+    (core-light-tree-builder.h:74-110), vectorized."""
+    # native gathers: trail words can exceed 2^24, which the one-hot
+    # float32 matmul path cannot represent exactly
+    trail = tree.trail[rec]
+    tlen = tree.trail_len[rec]
+    npts = p.shape[0]
+    node = jnp.zeros((npts,), jnp.int32)
+    pmf = jnp.ones((npts,), jnp.float32)
+    for level in range(tree.depth):
+        f, left, right, is_leaf = _children(tree, node)
+        fl = onehot_gather(tree.feat, left)
+        fr = onehot_gather(tree.feat, right)
+        il = _importance(fl, p, n)
+        ir = _importance(fr, p, n)
+        tot = il + ir
+        pl = jnp.where(tot > 0, il / jnp.maximum(tot, 1e-30), 0.5)
+        bit = (trail >> level) & 1
+        active = (level < tlen) & ~is_leaf
+        step_p = jnp.where(bit == 0, pl, 1.0 - pl)
+        if level >= split_levels:
+            pmf = jnp.where(active, pmf * step_p, pmf)
+        node = jnp.where(active, jnp.where(bit == 0, left, right), node)
+    return pmf
+
+
+def split_frontier(tree: LightTree, n_split: int):
+    """Deterministic breadth-first expansion of the root into ≤ n_split
+    subtree roots, host-side (static): returns (levels, roots) where
+    ``roots`` is a length-n_split list of node ids (−1 = dead slot).
+
+    The reference's adaptive split evaluates every branch it keeps and
+    samples stochastically below (core-light-tree-builder.cpp:469-569);
+    a fixed-depth frontier is the static-shape instance of that estimator.
+    """
+    assert n_split in (1, 2, 4), "split budget must be 1, 2, or 4"
+    levels = int(math.log2(n_split))
+    feat = np.asarray(tree.feat)
+    frontier = [0]
+    for _ in range(levels):
+        nxt = []
+        for nd in frontier:
+            if nd < 0:
+                nxt += [-1, -1]
+                continue
+            rec = int(round(feat[nd, _F_REC]))
+            if rec >= 0:  # leaf: keep + dead slot
+                nxt += [nd, -1]
+            else:
+                nxt += [int(round(feat[nd, _F_LEFT])), int(round(feat[nd, _F_RIGHT]))]
+        frontier = nxt
+    return levels, frontier
