@@ -41,7 +41,7 @@ from ..ops.camera import generate_rays, pixel_centers
 from ..ops.envmap import eval_envmap, sample_envmap
 from ..ops.film import Film, film_add_batch, film_add_sample, film_new
 from ..ops.filters import make_filter_sampler, sample_filter
-from ..ops.gather import onehot_gather
+from ..ops.gather import onehot_gather, onehot_gather_pytree
 from ..ops.bvh_pallas import (
     bvh_any_pallas,
     bvh_any_raw,
@@ -54,8 +54,15 @@ from ..ops.raysort import ray_sort_key, scene_bounds, sorted_apply, sorted_apply
 from ..ops.intersect import intersect_any, intersect_closest
 from ..ops.intersect_pallas import intersect_any_pallas, intersect_closest_pallas
 from ..ops.morton import is_pot_square, morton_pixel_order, unmorton_image
-from ..ops.lights import AREA, eval_light, sample_area_light, sample_light
-from ..ops.vecmath import max_component, offset_ray_origin, sqr
+from ..ops.lights import AREA, DIRECTIONAL, eval_light, sample_area_light, sample_light
+from ..ops.light_tree import (
+    REC_ROW,
+    REC_TRI,
+    light_tree_pmf,
+    sample_light_tree,
+    split_frontier,
+)
+from ..ops.vecmath import cross, length, max_component, offset_ray_origin, safe_sqrt, sqr
 from ..scene.types import Scene
 
 
@@ -85,6 +92,14 @@ class MegakernelConfig:
     # mitchell = filter importance sampling through the tabulated
     # inverse CDF with sign weights (reference FilterSampler,
     # core-render.cuh:177-231); box = uniform 1px jitter (megakernel.cu)
+    light_strategy: str = "auto"  # "auto" | "uniform" | "tree": NEE light
+    # selection. tree = stochastic Conty/Kulla light-tree descent with
+    # tree-PMF MIS (Gen-1 evalTile strategy, core-render.cpp:285-370);
+    # uniform = 1/N pick (Gen-2 megakernel.cu:176); auto = tree whenever
+    # the scene built one (scene_from_host use_light_tree / threshold)
+    nee_splits: int = 1  # 1|2|4 deterministic root-frontier subtrees, one
+    # shadow ray each (reference adaptive split ≤4 budget,
+    # core-light-tree-builder.cpp:469-569); tree strategy only
 
 
 def _use_pallas(cfg: "MegakernelConfig") -> bool:
@@ -185,6 +200,42 @@ class PathState(NamedTuple):
     eta_scale: jnp.ndarray  # (N,) ∏ η² for roulette
     prev_pdf: jnp.ndarray  # (N,) bsdf pdf of the last bounce (env MIS)
     prev_delta: jnp.ndarray  # (N,) last bounce was specular
+    prev_n: jnp.ndarray  # (N,3) shading normal at the last bounce
+    # (light-tree PMF recovery for directly-hit emitters)
+
+
+def init_path_state(o, d) -> PathState:
+    """Fresh camera-ray path state (shared by the megakernel's unrolled
+    loop and the wavefront model's dynamic loop)."""
+    n = o.shape[0]
+    return PathState(
+        o=o,
+        d=d,
+        beta=jnp.ones((n, 3), jnp.float32),
+        radiance=jnp.zeros((n, 3), jnp.float32),
+        alive=jnp.ones((n,), bool),
+        inside=jnp.zeros((n,), bool),
+        eta_scale=jnp.ones((n,), jnp.float32),
+        prev_pdf=jnp.zeros((n,), jnp.float32),
+        prev_delta=jnp.ones((n,), bool),  # camera "bounce" counts as delta
+        prev_n=-d,  # placeholder; unused while prev_delta (w_em = 1)
+    )
+
+
+def _tree_on(cfg, scene) -> bool:
+    """Static choice of NEE light-selection strategy."""
+    if cfg.light_strategy == "tree":
+        if scene.light_tree is None:
+            raise ValueError(
+                "light_strategy='tree' but the scene has no light tree "
+                "(build with scene_from_host(use_light_tree=True))"
+            )
+        return True
+    if cfg.light_strategy == "uniform":
+        return False
+    if cfg.light_strategy != "auto":
+        raise ValueError(f"unknown light_strategy {cfg.light_strategy!r}")
+    return scene.light_tree is not None
 
 
 def _nee(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, mat, wo, inside, alive=None):
@@ -232,12 +283,119 @@ def _nee(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, 
     contrib = le * f_cos / pmf
     if is_area is not None:
         # area lights ARE scene geometry: one-sample power-heuristic MIS
-        # against the BSDF estimator (megakernel.cu:230-239 done right)
-        w = sqr(pdf) / jnp.maximum(sqr(pdf) + sqr(bsdf_pdf), 1e-24)
-        contrib_area = le * f_cos * (w / jnp.maximum(pdf, 1e-12) / pmf)[..., None]
+        # against the BSDF estimator (megakernel.cu:230-239 done right).
+        # The NEE density must include the selection pmf so the weight is
+        # consistent with the direct-hit branch (both use pmf·pdf).
+        pdf_total = pdf * pmf
+        w = sqr(pdf_total) / jnp.maximum(sqr(pdf_total) + sqr(bsdf_pdf), 1e-24)
+        contrib_area = le * f_cos * (w / jnp.maximum(pdf_total, 1e-12))[..., None]
         contrib = jnp.where(is_area[..., None], contrib_area, contrib)
     ok = (pdf > 0.0) & ~occluded
     return jnp.where(ok[..., None], contrib, 0.0)
+
+
+def _tree_record_nee(scene: Scene, cfg, rec, pmf, hit, mat, wo, inside, u1, u2, alive=None):
+    """Contribution of one light-tree record sample (point/spot row OR
+    emissive triangle) with selection pmf ``pmf``; one shadow ray."""
+    tree = scene.light_tree
+    kind = onehot_gather(tree.rec_kind, rec)
+    idx = onehot_gather(tree.rec_idx, rec)
+
+    # --- LightTable-row records (point/spot: delta-ish, NEE-only) ---
+    lt = scene.lights.gather(jnp.where(kind == REC_ROW, idx, 0))
+    ls = sample_light(lt, hit.pos, u1, u2, jnp.zeros_like(inside), hit.normal)
+    direction, distance, pdf = ls.direction, ls.distance, ls.pdf
+    le = eval_light(lt, ls)
+    is_tri = kind == REC_TRI
+
+    # --- emissive-triangle records: uniform point on THAT triangle ---
+    if scene.emissive is not None:
+        em = scene.emissive
+        k = jnp.where(is_tri, idx, 0)
+        tv0, te0, te1, trad = onehot_gather_pytree(
+            (em.v0, em.e0, em.e1, em.rad), k
+        )
+        su = safe_sqrt(u1)
+        b1 = 1.0 - su
+        b2 = u2 * su
+        p = tv0 + b1[..., None] * te0 + b2[..., None] * te1
+        n_e = cross(te0, te1)
+        area2 = jnp.maximum(length(n_e), 1e-12)
+        n_e = n_e / area2[..., None]
+        to_p = p - hit.pos
+        d2 = jnp.maximum(jnp.sum(to_p * to_p, axis=-1), 1e-12)
+        dist = jnp.sqrt(d2)
+        d_tri = to_p / dist[..., None]
+        cos_l = jnp.abs(jnp.sum(d_tri * n_e, axis=-1))
+        pdf_tri = jnp.where(
+            cos_l > 1e-6, d2 / jnp.maximum(cos_l * 0.5 * area2, 1e-12), 0.0
+        )
+        direction = jnp.where(is_tri[..., None], d_tri, direction)
+        distance = jnp.where(is_tri, dist * 0.999, distance)
+        pdf = jnp.where(is_tri, pdf_tri, pdf)
+        le = jnp.where(is_tri[..., None], trad, le)
+
+    shadow_o = offset_ray_origin(hit.pos, hit.error, hit.normal, direction)
+    occluded = _any(scene, cfg, shadow_o, direction, distance, alive=alive)
+    f_cos, bsdf_pdf = eval_bsdf(
+        mat, wo, direction, hit.normal, hit.normal, inside, ft=cfg.features
+    )
+
+    # rows: NEE-only (see _nee comment) → divide by the selection pmf only;
+    # triangles: one-sample power-heuristic MIS on the full density pmf·pdf
+    contrib = le * f_cos / jnp.maximum(pmf, 1e-12)[..., None]
+    if scene.emissive is not None:
+        pdf_total = pdf * pmf
+        w = sqr(pdf_total) / jnp.maximum(sqr(pdf_total) + sqr(bsdf_pdf), 1e-24)
+        contrib_tri = le * f_cos * (w / jnp.maximum(pdf_total, 1e-12))[..., None]
+        contrib = jnp.where(is_tri[..., None], contrib_tri, contrib)
+    ok = (pdf > 0.0) & (pmf > 0.0) & ~occluded
+    return jnp.where(ok[..., None], contrib, 0.0)
+
+
+def _nee_tree(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, mat, wo, inside, alive=None):
+    """Light-tree NEE: deterministic root frontier (≤4 subtrees), one
+    stochastic importance descent + shadow ray per live subtree
+    (core-render.cpp:285-370, core-light-tree-builder.cpp:469-569)."""
+    tree = scene.light_tree
+    levels, roots = split_frontier(tree, cfg.nee_splits)
+    total = jnp.zeros_like(hit.pos)
+    for slot, root in enumerate(roots):
+        if root < 0:
+            continue
+        base = depth_dim + R.Dim.TREE_U + 3 * slot
+        u_sel = sampler.sample_1d(px, py, sample, base)
+        u1, u2 = sampler.sample_2d(px, py, sample, base + 1)
+        rec, pmf = sample_light_tree(
+            tree, hit.pos, hit.normal, u_sel, root=root
+        )
+        total = total + _tree_record_nee(
+            scene, cfg, rec, pmf, hit, mat, wo, inside, u1, u2, alive=alive
+        )
+    # infinite rows (directional) sit outside the tree: sample each one
+    # deterministically (pmf = 1). They are delta emitters; the shared
+    # LIGHT_U dims only jitter spread cones, which stays unbiased since
+    # every row is always sampled (no selection).
+    for k in range(tree.n_infinite):
+        row = tree.infinite_rows[k]
+        lt = scene.lights.gather(jnp.broadcast_to(row, hit.pos.shape[:1]))
+        is_dir = lt.ltype == DIRECTIONAL
+        u1, u2 = sampler.sample_2d(px, py, sample, depth_dim + R.Dim.LIGHT_U)
+        ls = sample_light(
+            lt, hit.pos, u1, u2, jnp.zeros_like(inside), hit.normal
+        )
+        le = eval_light(lt, ls)
+        shadow_o = offset_ray_origin(
+            hit.pos, hit.error, hit.normal, ls.direction
+        )
+        occluded = _any(scene, cfg, shadow_o, ls.direction, ls.distance, alive=alive)
+        f_cos, _ = eval_bsdf(
+            mat, wo, ls.direction, hit.normal, hit.normal, inside,
+            ft=cfg.features,
+        )
+        ok = is_dir & (ls.pdf > 0.0) & ~occluded
+        total = total + jnp.where(ok[..., None], le * f_cos, 0.0)
+    return total
 
 
 def _nee_env(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, mat, wo, inside, alive=None):
@@ -270,20 +428,8 @@ def trace_paths(
     ``px, py`` are uint32 pixel coords (RNG keys), ``sample`` the global
     sample index (traced scalar or (N,) array).
     """
-    n = o.shape[0]
     sampler = R.Sampler(cfg.sampler, cfg.seed)
-
-    state = PathState(
-        o=o,
-        d=d,
-        beta=jnp.ones((n, 3), jnp.float32),
-        radiance=jnp.zeros((n, 3), jnp.float32),
-        alive=jnp.ones((n,), bool),
-        inside=jnp.zeros((n,), bool),
-        eta_scale=jnp.ones((n,), jnp.float32),
-        prev_pdf=jnp.zeros((n,), jnp.float32),
-        prev_delta=jnp.ones((n,), bool),  # camera "bounce" counts as delta
-    )
+    state = init_path_state(o, d)
 
     def bounce(depth, state: PathState) -> PathState:
         return bounce_step(scene, cfg, sampler, px, py, sample, depth, state)
@@ -331,16 +477,35 @@ def bounce_step(scene: Scene, cfg, sampler, px, py, sample, depth, state: PathSt
         # shared by NEE evaluation and the bounce sample
         mat = scene.materials.gather(onehot_gather(scene.tri_mat, hit.tri))
 
+        use_tree = _tree_on(cfg, scene)
         if scene.emissive is not None:
             # directly-hit emitter: MIS-weighted against the NEE estimator
             # (weight 1 after delta bounces / the camera)
-            pmf_area = 1.0 / scene.num_lights
             cos_l = jnp.abs(jnp.sum(state.d * hit.normal, axis=-1))
-            pdf_hit = (
-                sqr(hit.t)
-                / jnp.maximum(cos_l * scene.emissive.area, 1e-12)
-                * pmf_area
-            )
+            if use_tree and scene.tri_emrec is not None:
+                # NEE density for hitting THIS triangle = tree selection
+                # pmf from the previous shading point × its area pdf
+                levels, _ = split_frontier(scene.light_tree, cfg.nee_splits)
+                rec_hit = onehot_gather(scene.tri_emrec, hit.tri)
+                pmf_sel = light_tree_pmf(
+                    scene.light_tree, jnp.maximum(rec_hit, 0),
+                    state.o, state.prev_n, split_levels=levels,
+                )
+                te0 = onehot_gather(scene.tri_e0, hit.tri)
+                te1 = onehot_gather(scene.tri_e1, hit.tri)
+                area_tri = 0.5 * length(cross(te0, te1))
+                pdf_hit = (
+                    sqr(hit.t)
+                    / jnp.maximum(cos_l * area_tri, 1e-12)
+                    * pmf_sel
+                )
+            else:
+                pmf_area = 1.0 / scene.num_lights
+                pdf_hit = (
+                    sqr(hit.t)
+                    / jnp.maximum(cos_l * scene.emissive.area, 1e-12)
+                    * pmf_area
+                )
             w_em = jnp.where(
                 state.prev_delta,
                 1.0,
@@ -353,7 +518,8 @@ def bounce_step(scene: Scene, cfg, sampler, px, py, sample, depth, state: PathSt
                 state.beta * mat.emission * w_em[..., None],
                 0.0,
             )
-        nee = _nee(
+        nee_fn = _nee_tree if use_tree else _nee
+        nee = nee_fn(
             scene, cfg, sampler, px, py, sample, depth_dim, hit, mat, wo,
             state.inside, alive=alive,
         )
@@ -405,6 +571,7 @@ def bounce_step(scene: Scene, cfg, sampler, px, py, sample, depth, state: PathSt
             eta_scale=eta_scale,
             prev_pdf=jnp.where(alive, bs.pdf, state.prev_pdf),
             prev_delta=jnp.where(alive, bs.delta, state.prev_delta),
+            prev_n=jnp.where(alive[..., None], hit.normal, state.prev_n),
         )
 
 

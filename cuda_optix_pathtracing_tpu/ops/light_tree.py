@@ -143,13 +143,17 @@ class LightTree:
     feat: jnp.ndarray  # (M, 15) f32
     rec_kind: jnp.ndarray  # (R,) i32
     rec_idx: jnp.ndarray  # (R,) i32
-    trail: jnp.ndarray  # (R,) u32 branch bits, LSB = root level
+    trail: jnp.ndarray  # (R, 2) u32 branch bits, word 0 = levels 0-31
     trail_len: jnp.ndarray  # (R,) i32
     rec_energy: jnp.ndarray  # (R,) f32 (diagnostics/tests)
     infinite_rows: jnp.ndarray  # (I,) i32 ENV/DIRECTIONAL LightTable rows
     depth: int = 0
     n_records: int = 0
     n_infinite: int = 0
+    # static frontier roots for deterministic 1/2/4-way root splitting,
+    # precomputed host-side so the jitted NEE path never reads tree.feat
+    # on the host (tuple-of-tuples keeps the pytree meta hashable)
+    frontiers: tuple = ((0,), (0, -1), (0, -1, -1, -1))
 
 
 jax.tree_util.register_dataclass(
@@ -158,7 +162,7 @@ jax.tree_util.register_dataclass(
         "feat", "rec_kind", "rec_idx", "trail", "trail_len", "rec_energy",
         "infinite_rows",
     ),
-    meta_fields=("depth", "n_records", "n_infinite"),
+    meta_fields=("depth", "n_records", "n_infinite", "frontiers"),
 )
 
 
@@ -256,7 +260,7 @@ def build_light_tree(
 
     # ---- recursive SAOH build (explicit stack) ----
     nodes = []  # dicts; children patched in
-    rec_trail = np.zeros((len(recs),), np.uint32)
+    rec_trail = np.zeros((len(recs), 2), np.uint32)  # 64-bit trail, 2 words
     rec_tlen = np.zeros((len(recs),), np.int32)
     rec_order: list[int] = []  # record ids leaf order (unused but kept)
 
@@ -271,38 +275,46 @@ def build_light_tree(
         if len(rec_ids) == 1:
             r = rec_ids[0]
             nodes[node_id]["right"] = r  # leaf: right = record id
-            rec_trail[r] = trail
+            rec_trail[r, 0] = np.uint32(trail & 0xFFFFFFFF)
+            rec_trail[r, 1] = np.uint32(trail >> 32)
             rec_tlen[r] = depth
             rec_order.append(r)
             return node_id
-        # binned SAOH over all 3 axes of the centroid bounds
-        cents = np.stack([(recs[i].lo + recs[i].hi) * 0.5 for i in rec_ids])
+        # a skewed SAOH chain could overflow the 64-bit trail; once the
+        # remaining balanced depth would exceed the budget, force median
+        # (balanced) splits — guarantees depth < 60 + log2(n) ≤ 64
+        force_median = depth + max(1, math.ceil(math.log2(len(rec_ids)))) >= 60
         best = None
-        for ax in range(3):
-            cmin, cmax = cents[:, ax].min(), cents[:, ax].max()
-            if cmax - cmin < 1e-12:
-                continue
-            which = np.minimum(
-                ((cents[:, ax] - cmin) / (cmax - cmin) * _BINS).astype(int),
-                _BINS - 1,
+        if not force_median:
+            # binned SAOH over all 3 axes of the centroid bounds
+            cents = np.stack(
+                [(recs[i].lo + recs[i].hi) * 0.5 for i in rec_ids]
             )
-            for cut in range(1, _BINS):
-                l_ids = [rid for rid, w in zip(rec_ids, which) if w < cut]
-                r_ids = [rid for rid, w in zip(rec_ids, which) if w >= cut]
-                if not l_ids or not r_ids:
+            for ax in range(3):
+                cmin, cmax = cents[:, ax].min(), cents[:, ax].max()
+                if cmax - cmin < 1e-12:
                     continue
-                cost = _saoh([recs[i] for i in l_ids]) + _saoh(
-                    [recs[i] for i in r_ids]
+                which = np.minimum(
+                    ((cents[:, ax] - cmin) / (cmax - cmin) * _BINS).astype(int),
+                    _BINS - 1,
                 )
-                if best is None or cost < best[0]:
-                    best = (cost, l_ids, r_ids)
-        if best is None:  # coincident centroids → median split
+                for cut in range(1, _BINS):
+                    l_ids = [rid for rid, w in zip(rec_ids, which) if w < cut]
+                    r_ids = [rid for rid, w in zip(rec_ids, which) if w >= cut]
+                    if not l_ids or not r_ids:
+                        continue
+                    cost = _saoh([recs[i] for i in l_ids]) + _saoh(
+                        [recs[i] for i in r_ids]
+                    )
+                    if best is None or cost < best[0]:
+                        best = (cost, l_ids, r_ids)
+        if best is None:  # coincident centroids / forced balance → median
             half = len(rec_ids) // 2
             best = (0.0, list(rec_ids[:half]), list(rec_ids[half:]))
         _, l_ids, r_ids = best
         nodes[node_id]["left"] = make_node(l_ids, depth + 1, trail)
         nodes[node_id]["right"] = make_node(
-            r_ids, depth + 1, trail | np.uint32(1 << depth)
+            r_ids, depth + 1, trail | (1 << depth)
         )
         return node_id
 
@@ -311,11 +323,12 @@ def build_light_tree(
     old_limit = sys.getrecursionlimit()
     sys.setrecursionlimit(max(old_limit, 4 * len(recs) + 64))
     try:
-        make_node(list(range(len(recs))), 0, np.uint32(0))
+        make_node(list(range(len(recs))), 0, 0)
     finally:
         sys.setrecursionlimit(old_limit)
 
     depth = int(max(n["depth"] for n in nodes))
+    assert depth < 64, f"light tree depth {depth} exceeds the 64-bit trail"
     m = len(nodes)
     feat = np.zeros((m, 13), np.float32)
     for i, n in enumerate(nodes):
@@ -341,6 +354,9 @@ def build_light_tree(
     )
     feat = np.concatenate([feat, leaf_rec[:, None]], axis=1)  # (M, 15)
 
+    frontiers = tuple(
+        tuple(_frontier_from_feat(feat, n_split)) for n_split in (1, 2, 4)
+    )
     tree = LightTree(
         feat=jnp.asarray(feat),
         rec_kind=jnp.asarray([r.kind for r in recs], jnp.int32),
@@ -352,6 +368,7 @@ def build_light_tree(
         depth=depth,
         n_records=len(recs),
         n_infinite=len(inf_rows),
+        frontiers=frontiers,
     )
     emissive_rec = np.array(
         [i for i, r in enumerate(recs) if r.kind == REC_TRI], np.int32
@@ -446,7 +463,7 @@ def light_tree_pmf(tree: LightTree, rec, p, n, split_levels: int = 0):
     (core-light-tree-builder.h:74-110), vectorized."""
     # native gathers: trail words can exceed 2^24, which the one-hot
     # float32 matmul path cannot represent exactly
-    trail = tree.trail[rec]
+    trail = tree.trail[rec]  # (N, 2) u32
     tlen = tree.trail_len[rec]
     npts = p.shape[0]
     node = jnp.zeros((npts,), jnp.int32)
@@ -459,7 +476,7 @@ def light_tree_pmf(tree: LightTree, rec, p, n, split_levels: int = 0):
         ir = _importance(fr, p, n)
         tot = il + ir
         pl = jnp.where(tot > 0, il / jnp.maximum(tot, 1e-30), 0.5)
-        bit = (trail >> level) & 1
+        bit = (trail[:, level // 32] >> (level % 32)) & 1
         active = (level < tlen) & ~is_leaf
         step_p = jnp.where(bit == 0, pl, 1.0 - pl)
         if level >= split_levels:
@@ -468,18 +485,10 @@ def light_tree_pmf(tree: LightTree, rec, p, n, split_levels: int = 0):
     return pmf
 
 
-def split_frontier(tree: LightTree, n_split: int):
-    """Deterministic breadth-first expansion of the root into ≤ n_split
-    subtree roots, host-side (static): returns (levels, roots) where
-    ``roots`` is a length-n_split list of node ids (−1 = dead slot).
-
-    The reference's adaptive split evaluates every branch it keeps and
-    samples stochastically below (core-light-tree-builder.cpp:469-569);
-    a fixed-depth frontier is the static-shape instance of that estimator.
-    """
-    assert n_split in (1, 2, 4), "split budget must be 1, 2, or 4"
+def _frontier_from_feat(feat: np.ndarray, n_split: int) -> list[int]:
+    """Breadth-first expansion of the root into ≤ n_split node ids over the
+    host-side packed feature matrix (−1 = dead slot)."""
     levels = int(math.log2(n_split))
-    feat = np.asarray(tree.feat)
     frontier = [0]
     for _ in range(levels):
         nxt = []
@@ -491,6 +500,24 @@ def split_frontier(tree: LightTree, n_split: int):
             if rec >= 0:  # leaf: keep + dead slot
                 nxt += [nd, -1]
             else:
-                nxt += [int(round(feat[nd, _F_LEFT])), int(round(feat[nd, _F_RIGHT]))]
+                nxt += [
+                    int(round(feat[nd, _F_LEFT])),
+                    int(round(feat[nd, _F_RIGHT])),
+                ]
         frontier = nxt
-    return levels, frontier
+    return frontier
+
+
+def split_frontier(tree: LightTree, n_split: int):
+    """Deterministic breadth-first expansion of the root into ≤ n_split
+    subtree roots: returns (levels, roots) where ``roots`` is a length-
+    n_split list of node ids (−1 = dead slot). Reads the precomputed
+    static frontier, so it is safe to call while tracing under jit.
+
+    The reference's adaptive split evaluates every branch it keeps and
+    samples stochastically below (core-light-tree-builder.cpp:469-569);
+    a fixed-depth frontier is the static-shape instance of that estimator.
+    """
+    assert n_split in (1, 2, 4), "split budget must be 1, 2, or 4"
+    levels = int(math.log2(n_split))
+    return levels, list(tree.frontiers[levels])

@@ -46,9 +46,10 @@ class Dim(enum.IntEnum):
     RR = 8  # 1 dim: russian roulette
     ENV_SELECT = 9  # 1 dim: infinite-light index on miss
     ENV_U = 10  # 2 dims: envmap NEE importance sample
+    TREE_U = 12  # 3 dims × 4 split slots: light-tree NEE (select, u1, u2)
 
 
-DIMS_PER_BOUNCE = 12
+DIMS_PER_BOUNCE = 24
 
 
 def _u32(x):

@@ -25,10 +25,16 @@ from ..ops.lights import (
     make_light_table,
 )
 from ..ops.camera import CameraConfig, camera_from_raster, world_from_camera
+from ..ops.light_tree import LightTree, build_light_tree
 
 # scenes at or above this many triangles get a BVH at build time; below it
 # the brute-force tile sweep is faster than packet traversal
 BVH_THRESHOLD = 512
+
+# scenes with at least this many finite light records (point/spot rows +
+# emissive triangles) get a Conty/Kulla light tree at build time; below it
+# uniform 1/N selection has comparable variance and less overhead
+LIGHT_TREE_THRESHOLD = 16
 
 
 class Scene(NamedTuple):
@@ -50,6 +56,10 @@ class Scene(NamedTuple):
     world_from_cam: jnp.ndarray  # (4,4)
     bvh: Optional[PackedBVH] = None
     emissive: Optional[EmissiveTable] = None  # area-light triangle set
+    light_tree: Optional[LightTree] = None  # Conty/Kulla many-lights tree
+    tri_emrec: Optional[jnp.ndarray] = None  # (T,) i32 light-tree record id
+    # of each (emissive) triangle, −1 for non-emitters; BVH-permuted with
+    # the triangle arrays. Used for tree-PMF MIS on direct emitter hits.
 
     @property
     def num_triangles(self):
@@ -87,7 +97,11 @@ class HostScene:
         self.lights.append(light)
 
 
-def scene_from_host(hs: HostScene, use_bvh: Optional[bool] = None) -> Scene:
+def scene_from_host(
+    hs: HostScene,
+    use_bvh: Optional[bool] = None,
+    use_light_tree: Optional[bool] = None,
+) -> Scene:
     tris = np.stack(hs.triangles).astype(np.float32)  # (T,3,3)
     cam = hs.camera
     lights = list(hs.lights)
@@ -110,6 +124,8 @@ def scene_from_host(hs: HostScene, use_bvh: Optional[bool] = None) -> Scene:
         ]
     ) if hs.materials else np.zeros((0, 3), np.float32)
     emissive = None
+    n_emissive = 0
+    em_idx_of_tri = np.full((len(tris),), -1, np.int32)
     if len(emission_by_mat) and (emission_by_mat.max() > 0):
         em_mask = emission_by_mat[tri_mat].max(axis=1) > 0
         if em_mask.any():
@@ -117,10 +133,37 @@ def scene_from_host(hs: HostScene, use_bvh: Optional[bool] = None) -> Scene:
                 v0[em_mask], e0[em_mask], e1[em_mask],
                 emission_by_mat[tri_mat[em_mask]],
             )
+            n_emissive = int(em_mask.sum())
+            em_idx_of_tri[em_mask] = np.arange(n_emissive, dtype=np.int32)
             lights = lights + [area_light()]
     # NEE needs ≥1 light row; a zero-intensity point light is a no-op filler
     if not lights:
         lights = [dict(ltype=0, color=(0.0, 0.0, 0.0))]
+    light_table = make_light_table(lights)
+
+    # Conty/Kulla light tree over finite records (point/spot + emissive
+    # tris) — core-light-tree-builder.cpp:306-466 capability
+    from ..ops.lights import POINT, SPOT
+
+    lt_np = np.asarray(light_table.ltype)
+    n_finite = int(((lt_np == POINT) | (lt_np == SPOT)).sum()) + n_emissive
+    build_tree = (
+        use_light_tree
+        if use_light_tree is not None
+        else n_finite >= LIGHT_TREE_THRESHOLD
+    )
+    light_tree = None
+    tri_emrec = None
+    if build_tree:
+        light_tree, emissive_rec = build_light_tree(light_table, emissive)
+        if light_tree is not None and n_emissive:
+            # record id per triangle (−1 = not an emitter)
+            tri_emrec = np.where(
+                em_idx_of_tri >= 0,
+                emissive_rec[np.maximum(em_idx_of_tri, 0)],
+                -1,
+            ).astype(np.int32)
+
     bvh = None
     if use_bvh if use_bvh is not None else (len(tris) >= BVH_THRESHOLD):
         bvh = pack_bvh(build_bvh(v0, e0, e1))
@@ -128,6 +171,8 @@ def scene_from_host(hs: HostScene, use_bvh: Optional[bool] = None) -> Scene:
         e0 = permute_tri_array(e0, bvh.perm)
         e1 = permute_tri_array(e1, bvh.perm)
         tri_mat = permute_tri_array(tri_mat, bvh.perm)
+        if tri_emrec is not None:
+            tri_emrec = permute_tri_array(tri_emrec, bvh.perm)
 
     return Scene(
         tri_v0=jnp.asarray(v0),
@@ -135,7 +180,7 @@ def scene_from_host(hs: HostScene, use_bvh: Optional[bool] = None) -> Scene:
         tri_e1=jnp.asarray(e1),
         tri_mat=jnp.asarray(tri_mat, jnp.int32),
         materials=make_material_table(hs.materials),
-        lights=make_light_table(lights),
+        lights=light_table,
         env=env,
         cam_from_raster=camera_from_raster(
             cam.focal_length_mm, cam.sensor_height_mm, cam.width, cam.height
@@ -143,4 +188,8 @@ def scene_from_host(hs: HostScene, use_bvh: Optional[bool] = None) -> Scene:
         world_from_cam=world_from_camera(cam.direction, cam.position),
         bvh=bvh,
         emissive=emissive,
+        light_tree=light_tree,
+        tri_emrec=(
+            jnp.asarray(tri_emrec) if tri_emrec is not None else None
+        ),
     )

@@ -115,6 +115,13 @@ def test_train_step_sharded_grads_match_single(scene, cfg):
 
     loss_ref, g_ref = jax.jit(jax.value_and_grad(global_loss))(params0)
     np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-6)
+    # shard_map changes the fp32 summation order (per-shard partial sums +
+    # pmean vs one global reduction), so small-magnitude entries carry
+    # rounding noise at the scale of the LARGEST gradient element (measured
+    # max abs err ≈ 3e-8 vs max|g| ≈ 4e-3). Tolerance is therefore relative
+    # to the gradient's scale, not element-wise: atol = 1e-4·max|g_ref|.
+    g_ref_a = np.asarray(g_ref["albedo"])
     np.testing.assert_allclose(
-        np.asarray(g_sharded), np.asarray(g_ref["albedo"]), rtol=1e-4, atol=1e-8
+        np.asarray(g_sharded), g_ref_a,
+        rtol=1e-4, atol=1e-4 * np.abs(g_ref_a).max(),
     )
