@@ -185,6 +185,69 @@ class PathState(NamedTuple):
     eta_scale: jnp.ndarray  # (N,) ∏ η² for roulette
     prev_pdf: jnp.ndarray  # (N,) bsdf pdf of the last bounce (env MIS)
     prev_delta: jnp.ndarray  # (N,) last bounce was specular
+    cone_w: jnp.ndarray  # (N,) ray-cone width at the ray origin (tex LOD)
+    cone_s: jnp.ndarray  # (N,) ray-cone spread angle (rad)
+
+
+# spread assigned to a path after its first non-specular bounce: a diffuse
+# reflection's footprint grows like a wide cone; any large value just pulls
+# deeper bounces toward the top (blurriest) mip, which is both correct
+# filtering and the cheapest fetch (Ray Tracing Gems ch. 20 §20.3.4.1)
+DIFFUSE_CONE_SPREAD = 0.3
+
+
+def init_path_state(scene: Scene, n: int, o, d) -> PathState:
+    """Fresh per-ray path state; camera cone spread from the raster map
+    (reference minDifferentialsFromCamera, core-render.cuh:353-377)."""
+    from ..ops.texture import pixel_cone_spread
+
+    spread = pixel_cone_spread(scene.cam_from_raster)
+    return PathState(
+        o=o,
+        d=d,
+        beta=jnp.ones((n, 3), jnp.float32),
+        radiance=jnp.zeros((n, 3), jnp.float32),
+        alive=jnp.ones((n,), bool),
+        inside=jnp.zeros((n,), bool),
+        eta_scale=jnp.ones((n,), jnp.float32),
+        prev_pdf=jnp.zeros((n,), jnp.float32),
+        prev_delta=jnp.ones((n,), bool),  # camera "bounce" counts as delta
+        cone_w=jnp.zeros((n,), jnp.float32),
+        cone_s=jnp.full((n,), spread, jnp.float32),
+    )
+
+
+def _textured_mat(scene: Scene, mat, hit, cone_w):
+    """Override gathered material constants with texture fetches at the
+    hit point (reference materialSample/Eval texture path,
+    core-material.cpp:180-403). No-op for scenes without textures."""
+    if scene.textures is None or scene.tri_uv is None:
+        return mat
+    from ..ops.texture import raycone_lod, sample_trilinear
+
+    t = scene.tri_uv.shape[0]
+    uv3 = onehot_gather(scene.tri_uv.reshape(t, 6), hit.tri).reshape(-1, 3, 2)
+    w = (1.0 - hit.u - hit.v)[..., None]
+    uv = w * uv3[:, 0] + hit.u[..., None] * uv3[:, 1] + hit.v[..., None] * uv3[:, 2]
+    dens = onehot_gather(scene.tri_uvdens[:, None], hit.tri)[:, 0]
+
+    has_alb = mat.albedo_tex >= 0
+    tid_a = jnp.maximum(mat.albedo_tex, 0)
+    lod_a = raycone_lod(scene.textures, tid_a, cone_w, dens)
+    albedo_t = sample_trilinear(scene.textures, tid_a, uv, lod_a)
+    albedo = jnp.where(has_alb[..., None], albedo_t, mat.albedo)
+
+    has_r = mat.rough_tex >= 0
+    tid_r = jnp.maximum(mat.rough_tex, 0)
+    lod_r = raycone_lod(scene.textures, tid_r, cone_w, dens)
+    rough = sample_trilinear(scene.textures, tid_r, uv, lod_r)[:, 0]
+    alpha = sqr(rough)
+    alphax = jnp.where(has_r, alpha, mat.alphax)
+    alphay = jnp.where(has_r, alpha, mat.alphay)
+    on_sigma = jnp.where(has_r, rough * (jnp.pi / 2.0), mat.on_sigma)
+    return mat._replace(
+        albedo=albedo, alphax=alphax, alphay=alphay, on_sigma=on_sigma
+    )
 
 
 def _nee(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, mat, wo, inside, alive=None):
@@ -273,17 +336,7 @@ def trace_paths(
     n = o.shape[0]
     sampler = R.Sampler(cfg.sampler, cfg.seed)
 
-    state = PathState(
-        o=o,
-        d=d,
-        beta=jnp.ones((n, 3), jnp.float32),
-        radiance=jnp.zeros((n, 3), jnp.float32),
-        alive=jnp.ones((n,), bool),
-        inside=jnp.zeros((n,), bool),
-        eta_scale=jnp.ones((n,), jnp.float32),
-        prev_pdf=jnp.zeros((n,), jnp.float32),
-        prev_delta=jnp.ones((n,), bool),  # camera "bounce" counts as delta
-    )
+    state = init_path_state(scene, n, o, d)
 
     def bounce(depth, state: PathState) -> PathState:
         return bounce_step(scene, cfg, sampler, px, py, sample, depth, state)
@@ -328,8 +381,11 @@ def bounce_step(scene: Scene, cfg, sampler, px, py, sample, depth, state: PathSt
 
         wo = -state.d
         # one material fetch per bounce (one-hot MXU gathers, ops/gather.py),
-        # shared by NEE evaluation and the bounce sample
+        # shared by NEE evaluation and the bounce sample; ray-cone width at
+        # the hit drives the texture mip selection
+        cone_at_hit = state.cone_w + state.cone_s * jnp.abs(hit.t)
         mat = scene.materials.gather(onehot_gather(scene.tri_mat, hit.tri))
+        mat = _textured_mat(scene, mat, hit, cone_at_hit)
 
         if scene.emissive is not None:
             # directly-hit emitter: MIS-weighted against the NEE estimator
@@ -395,6 +451,14 @@ def bounce_step(scene: Scene, cfg, sampler, px, py, sample, depth, state: PathSt
         beta = beta * survived_scale[..., None]
         alive = alive & ~killed
 
+        # ray-cone propagation: width grows by spread·distance; the first
+        # non-specular bounce widens the spread to the diffuse cone
+        cone_s = jnp.where(
+            alive & ~bs.delta,
+            jnp.maximum(state.cone_s, DIFFUSE_CONE_SPREAD),
+            state.cone_s,
+        )
+
         return PathState(
             o=jnp.where(alive[..., None], o_new, state.o),
             d=jnp.where(alive[..., None], bs.wi, state.d),
@@ -405,6 +469,8 @@ def bounce_step(scene: Scene, cfg, sampler, px, py, sample, depth, state: PathSt
             eta_scale=eta_scale,
             prev_pdf=jnp.where(alive, bs.pdf, state.prev_pdf),
             prev_delta=jnp.where(alive, bs.delta, state.prev_delta),
+            cone_w=jnp.where(alive, cone_at_hit, state.cone_w),
+            cone_s=cone_s,
         )
 
 

@@ -50,6 +50,7 @@ from .megakernel import (
     PathState,
     _use_morton,
     bounce_step,
+    init_path_state,
 )
 
 
@@ -67,17 +68,7 @@ def trace_paths_wavefront(scene: Scene, cfg, px, py, sample, o, d):
     n = o.shape[0]
     sampler = R.Sampler(cfg.sampler, cfg.seed)
 
-    state = PathState(
-        o=o,
-        d=d,
-        beta=jnp.ones((n, 3), jnp.float32),
-        radiance=jnp.zeros((n, 3), jnp.float32),
-        alive=jnp.ones((n,), bool),
-        inside=jnp.zeros((n,), bool),
-        eta_scale=jnp.ones((n,), jnp.float32),
-        prev_pdf=jnp.zeros((n,), jnp.float32),
-        prev_delta=jnp.ones((n,), bool),
-    )
+    state = init_path_state(scene, n, o, d)
 
     def cond(carry):
         depth, state = carry

