@@ -54,7 +54,7 @@ from ..ops.raysort import ray_sort_key, scene_bounds, sorted_apply, sorted_apply
 from ..ops.intersect import intersect_any, intersect_closest
 from ..ops.intersect_pallas import intersect_any_pallas, intersect_closest_pallas
 from ..ops.morton import is_pot_square, morton_pixel_order, unmorton_image
-from ..ops.lights import AREA, DIRECTIONAL, eval_light, sample_area_light, sample_light
+from ..ops.lights import AREA, DIRECTIONAL, ENV, eval_light, sample_area_light, sample_light
 from ..ops.light_tree import (
     REC_ROW,
     REC_TRI,
@@ -202,12 +202,23 @@ class PathState(NamedTuple):
     prev_delta: jnp.ndarray  # (N,) last bounce was specular
     prev_n: jnp.ndarray  # (N,3) shading normal at the last bounce
     # (light-tree PMF recovery for directly-hit emitters)
+    cone_w: jnp.ndarray  # (N,) ray-cone width at the ray origin (tex LOD)
+    cone_s: jnp.ndarray  # (N,) ray-cone spread angle (rad)
 
 
-def init_path_state(o, d) -> PathState:
-    """Fresh camera-ray path state (shared by the megakernel's unrolled
-    loop and the wavefront model's dynamic loop)."""
-    n = o.shape[0]
+# spread assigned to a path after its first non-specular bounce: a diffuse
+# reflection's footprint grows like a wide cone; any large value just pulls
+# deeper bounces toward the top (blurriest) mip, which is both correct
+# filtering and the cheapest fetch (Ray Tracing Gems ch. 20 §20.3.4.1)
+DIFFUSE_CONE_SPREAD = 0.3
+
+
+def init_path_state(scene: Scene, n: int, o, d) -> PathState:
+    """Fresh per-ray path state; camera cone spread from the raster map
+    (reference minDifferentialsFromCamera, core-render.cuh:353-377)."""
+    from ..ops.texture import pixel_cone_spread
+
+    spread = pixel_cone_spread(scene.cam_from_raster)
     return PathState(
         o=o,
         d=d,
@@ -219,6 +230,8 @@ def init_path_state(o, d) -> PathState:
         prev_pdf=jnp.zeros((n,), jnp.float32),
         prev_delta=jnp.ones((n,), bool),  # camera "bounce" counts as delta
         prev_n=-d,  # placeholder; unused while prev_delta (w_em = 1)
+        cone_w=jnp.zeros((n,), jnp.float32),
+        cone_s=jnp.full((n,), spread, jnp.float32),
     )
 
 
@@ -236,6 +249,39 @@ def _tree_on(cfg, scene) -> bool:
     if cfg.light_strategy != "auto":
         raise ValueError(f"unknown light_strategy {cfg.light_strategy!r}")
     return scene.light_tree is not None
+
+
+def _textured_mat(scene: Scene, mat, hit, cone_w):
+    """Override gathered material constants with texture fetches at the
+    hit point (reference materialSample/Eval texture path,
+    core-material.cpp:180-403). No-op for scenes without textures."""
+    if scene.textures is None or scene.tri_uv is None:
+        return mat
+    from ..ops.texture import raycone_lod, sample_trilinear
+
+    t = scene.tri_uv.shape[0]
+    uv3 = onehot_gather(scene.tri_uv.reshape(t, 6), hit.tri).reshape(-1, 3, 2)
+    w = (1.0 - hit.u - hit.v)[..., None]
+    uv = w * uv3[:, 0] + hit.u[..., None] * uv3[:, 1] + hit.v[..., None] * uv3[:, 2]
+    dens = onehot_gather(scene.tri_uvdens[:, None], hit.tri)[:, 0]
+
+    has_alb = mat.albedo_tex >= 0
+    tid_a = jnp.maximum(mat.albedo_tex, 0)
+    lod_a = raycone_lod(scene.textures, tid_a, cone_w, dens)
+    albedo_t = sample_trilinear(scene.textures, tid_a, uv, lod_a)
+    albedo = jnp.where(has_alb[..., None], albedo_t, mat.albedo)
+
+    has_r = mat.rough_tex >= 0
+    tid_r = jnp.maximum(mat.rough_tex, 0)
+    lod_r = raycone_lod(scene.textures, tid_r, cone_w, dens)
+    rough = sample_trilinear(scene.textures, tid_r, uv, lod_r)[:, 0]
+    alpha = sqr(rough)
+    alphax = jnp.where(has_r, alpha, mat.alphax)
+    alphay = jnp.where(has_r, alpha, mat.alphay)
+    on_sigma = jnp.where(has_r, rough * (jnp.pi / 2.0), mat.on_sigma)
+    return mat._replace(
+        albedo=albedo, alphax=alphax, alphay=alphay, on_sigma=on_sigma
+    )
 
 
 def _nee(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, mat, wo, inside, alive=None):
@@ -281,6 +327,15 @@ def _nee(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, 
     # reference's non-delta branch, megakernel.cu:230-239, multiplies a
     # power-heuristic w≈1 and likewise never divides by the cone pdf.)
     contrib = le * f_cos / pmf
+    # constant-env *table rows* are extended lights sampled by uniform
+    # sphere: the estimator must divide by that pdf (unlike the folded
+    # nucleus/cone cases above)
+    is_env_row = lt.ltype == ENV
+    contrib = jnp.where(
+        is_env_row[..., None],
+        le * f_cos / (pmf * jnp.maximum(pdf, 1e-12))[..., None],
+        contrib,
+    )
     if is_area is not None:
         # area lights ARE scene geometry: one-sample power-heuristic MIS
         # against the BSDF estimator (megakernel.cu:230-239 done right).
@@ -372,14 +427,13 @@ def _nee_tree(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, 
         total = total + _tree_record_nee(
             scene, cfg, rec, pmf, hit, mat, wo, inside, u1, u2, alive=alive
         )
-    # infinite rows (directional) sit outside the tree: sample each one
-    # deterministically (pmf = 1). They are delta emitters; the shared
-    # LIGHT_U dims only jitter spread cones, which stays unbiased since
-    # every row is always sampled (no selection).
+    # infinite rows (constant-env / directional) sit outside the tree:
+    # sample each one deterministically (pmf = 1). The shared LIGHT_U dims
+    # only jitter spread cones / sphere directions, which stays unbiased
+    # since every row is always sampled (no selection).
     for k in range(tree.n_infinite):
         row = tree.infinite_rows[k]
         lt = scene.lights.gather(jnp.broadcast_to(row, hit.pos.shape[:1]))
-        is_dir = lt.ltype == DIRECTIONAL
         u1, u2 = sampler.sample_2d(px, py, sample, depth_dim + R.Dim.LIGHT_U)
         ls = sample_light(
             lt, hit.pos, u1, u2, jnp.zeros_like(inside), hit.normal
@@ -393,8 +447,14 @@ def _nee_tree(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, 
             mat, wo, ls.direction, hit.normal, hit.normal, inside,
             ft=cfg.features,
         )
-        ok = is_dir & (ls.pdf > 0.0) & ~occluded
-        total = total + jnp.where(ok[..., None], le * f_cos, 0.0)
+        # env rows are extended (uniform-sphere) lights: divide by the pdf
+        c_inf = jnp.where(
+            (lt.ltype == ENV)[..., None],
+            le * f_cos / jnp.maximum(ls.pdf, 1e-12)[..., None],
+            le * f_cos,
+        )
+        ok = (ls.pdf > 0.0) & ~occluded
+        total = total + jnp.where(ok[..., None], c_inf, 0.0)
     return total
 
 
@@ -429,7 +489,7 @@ def trace_paths(
     sample index (traced scalar or (N,) array).
     """
     sampler = R.Sampler(cfg.sampler, cfg.seed)
-    state = init_path_state(o, d)
+    state = init_path_state(scene, o.shape[0], o, d)
 
     def bounce(depth, state: PathState) -> PathState:
         return bounce_step(scene, cfg, sampler, px, py, sample, depth, state)
@@ -474,8 +534,11 @@ def bounce_step(scene: Scene, cfg, sampler, px, py, sample, depth, state: PathSt
 
         wo = -state.d
         # one material fetch per bounce (one-hot MXU gathers, ops/gather.py),
-        # shared by NEE evaluation and the bounce sample
+        # shared by NEE evaluation and the bounce sample; ray-cone width at
+        # the hit drives the texture mip selection
+        cone_at_hit = state.cone_w + state.cone_s * jnp.abs(hit.t)
         mat = scene.materials.gather(onehot_gather(scene.tri_mat, hit.tri))
+        mat = _textured_mat(scene, mat, hit, cone_at_hit)
 
         use_tree = _tree_on(cfg, scene)
         if scene.emissive is not None:
@@ -561,6 +624,14 @@ def bounce_step(scene: Scene, cfg, sampler, px, py, sample, depth, state: PathSt
         beta = beta * survived_scale[..., None]
         alive = alive & ~killed
 
+        # ray-cone propagation: width grows by spread·distance; the first
+        # non-specular bounce widens the spread to the diffuse cone
+        cone_s = jnp.where(
+            alive & ~bs.delta,
+            jnp.maximum(state.cone_s, DIFFUSE_CONE_SPREAD),
+            state.cone_s,
+        )
+
         return PathState(
             o=jnp.where(alive[..., None], o_new, state.o),
             d=jnp.where(alive[..., None], bs.wi, state.d),
@@ -572,6 +643,8 @@ def bounce_step(scene: Scene, cfg, sampler, px, py, sample, depth, state: PathSt
             prev_pdf=jnp.where(alive, bs.pdf, state.prev_pdf),
             prev_delta=jnp.where(alive, bs.delta, state.prev_delta),
             prev_n=jnp.where(alive[..., None], hit.normal, state.prev_n),
+            cone_w=jnp.where(alive, cone_at_hit, state.cone_w),
+            cone_s=cone_s,
         )
 
 

@@ -65,7 +65,7 @@ def trace_paths_wavefront(scene: Scene, cfg, px, py, sample, o, d):
             "wavefront model requires the hash sampler (traced depth index)"
         )
     sampler = R.Sampler(cfg.sampler, cfg.seed)
-    state = init_path_state(o, d)
+    state = init_path_state(scene, o.shape[0], o, d)
 
     def cond(carry):
         depth, state = carry
@@ -144,3 +144,126 @@ def render_wavefront(scene: Scene, width, height, spp, cfg=None, kspp: int = 4, 
         if progress_cb is not None:
             progress_cb(film, done)
     return film
+
+
+# ---------------------------------------------------------------------------
+# Pool wavefront with path regeneration — the compaction design
+# ---------------------------------------------------------------------------
+#
+# The early-exit model above still *carries* dead lanes: after russian
+# roulette and misses thin a sample batch out, every remaining bounce
+# re-traces the full dense batch with most lanes masked off. The
+# reference's wavefront queues exist precisely to avoid that
+# (wavefront-stream/main.cu:221-319: per-depth queues hold only live
+# work). On TPU, shapes are static, so "shrinking the batch" is
+# impossible — but its dual is not: keep the batch FULL by refilling
+# every dead lane with a fresh (pixel, sample) work item in the same
+# iteration (path regeneration — the standard wavefront formulation for
+# wide-SIMD machines). Occupancy stays ~100 % at every depth; total
+# iterations ≈ total_bounce_work / pool_size instead of spp × max_depth.
+#
+# Film accumulation cannot use the dense per-sample Welford update (paths
+# retire out of order), so finished paths scatter (sum, sum²) by pixel id
+# and the film is closed into Welford (mean, M2, n) form at the end —
+# algebraically identical since every pixel receives exactly spp samples.
+
+
+def render_pool_wavefront(
+    scene: Scene, width: int, height: int, spp: int, cfg=None,
+    pool: int | None = None,
+):
+    """Full render via the regenerating path pool → Film.
+
+    Matches the megakernel/hash-sampler estimator sample-for-sample (same
+    RNG keying), differing only in fp reduction order. Box pixel filter
+    (filter-importance weights would need a per-lane carry; use the
+    megakernel for Mitchell).
+    """
+    cfg = cfg or WavefrontConfig()
+    if cfg.sampler != "hash":
+        raise ValueError("pool wavefront requires the hash sampler")
+    if cfg.pixel_filter != "box":
+        raise ValueError("pool wavefront supports the box pixel filter only")
+    npix = width * height
+    m = pool or min(npix, 1 << 16)
+    total = npix * spp
+    sampler = R.Sampler(cfg.sampler, cfg.seed)
+
+    def raygen(w):
+        """Work item id → (o, d, px, py, sample, pix_id)."""
+        pix_id = (w % npix).astype(jnp.int32)
+        s = (w // npix).astype(jnp.uint32)
+        px = (pix_id % width).astype(jnp.uint32)
+        py = (pix_id // width).astype(jnp.uint32)
+        u1, u2 = sampler.sample_2d(px, py, s, R.Dim.CAMERA_U)
+        p_film = jnp.stack(
+            [px.astype(jnp.float32) + u1, py.astype(jnp.float32) + u2], -1
+        )
+        o, d = generate_rays(p_film, scene.cam_from_raster, scene.world_from_cam)
+        return o, d, px, py, s, pix_id
+
+    w0 = jnp.arange(m, dtype=jnp.uint32)
+    o, d, px, py, sample, pix = raygen(w0)
+    state = init_path_state(scene, m, o, d)
+    state = state._replace(alive=w0 < total)
+    pix = jnp.where(w0 < total, pix, npix)  # inert lanes scatter nowhere
+
+    carry = (
+        state, px, py, sample, pix,
+        jnp.zeros((m,), jnp.int32),  # per-lane depth
+        jnp.uint32(m),  # next work item
+        jnp.zeros((npix, 3), jnp.float32),  # Σ radiance
+        jnp.zeros((npix, 3), jnp.float32),  # Σ radiance²
+    )
+
+    def cond(c):
+        return jnp.any(c[0].alive)
+
+    def body(c):
+        state, px, py, sample, pix, depth, next_w, s1, s2 = c
+        pre = state.alive
+        state = bounce_step(scene, cfg, sampler, px, py, sample, depth, state)
+        depth = depth + 1
+        finished = pre & (~state.alive | (depth >= cfg.max_depth))
+
+        # retire: scatter (Σ, Σ²) by pixel; duplicates in `pix` are fine
+        # (scatter-add), inert lanes carry pix == npix → dropped
+        rad = jnp.where(finished[..., None], state.radiance, 0.0)
+        fpix = jnp.where(finished, pix, npix)
+        s1 = s1.at[fpix].add(rad, mode="drop")
+        s2 = s2.at[fpix].add(rad * rad, mode="drop")
+
+        # refill: finished lanes claim the next work items (prefix ranks)
+        rank = jnp.cumsum(finished.astype(jnp.uint32)) - 1
+        w_new = next_w + rank
+        valid = finished & (w_new < total)
+        o2, d2, px2, py2, smp2, pix2 = raygen(jnp.where(finished, w_new, 0))
+        fresh = init_path_state(scene, m, o2, d2)
+        fin3 = finished[..., None]
+
+        def sel(new, old):
+            mask = fin3 if new.ndim == 2 else finished
+            return jnp.where(mask, new, old)
+
+        state = jax.tree_util.tree_map(sel, fresh, state)
+        state = state._replace(alive=jnp.where(finished, valid, state.alive))
+        px = jnp.where(finished, px2, px)
+        py = jnp.where(finished, py2, py)
+        sample = jnp.where(finished, smp2, sample)
+        pix = jnp.where(finished, jnp.where(valid, pix2, npix), pix)
+        depth = jnp.where(finished, 0, depth)
+        next_w = next_w + jnp.sum(finished.astype(jnp.uint32))
+        return state, px, py, sample, pix, depth, next_w, s1, s2
+
+    _, _, _, _, _, _, _, s1, s2 = lax.while_loop(cond, body, carry)
+    # close the (Σ, Σ²) accumulators into Welford (mean, M2, n) form
+    n = jnp.float32(spp)
+    mean = (s1 / n).reshape(height, width, 3)
+    m2 = (s2 - s1 * s1 / n).reshape(height, width, 3)
+    return Film(mean=mean, m2=jnp.maximum(m2, 0.0), n=n)
+
+
+render_pool_wavefront_jit = jax.jit(
+    render_pool_wavefront,
+    static_argnames=("width", "height", "spp", "cfg", "pool"),
+)

@@ -145,6 +145,9 @@ class MaterialTable(NamedTuple):
     cond_eta: jnp.ndarray  # (M,3)
     cond_k: jnp.ndarray  # (M,3)
     emission: jnp.ndarray  # (M,3) emitted radiance (area lights)
+    albedo_tex: jnp.ndarray  # (M,) i32 texture id into Scene.textures, -1 none
+    rough_tex: jnp.ndarray  # (M,) i32 roughness texture id, -1 none
+    normal_tex: jnp.ndarray  # (M,) i32 normal-map texture id, -1 none
 
     def gather(self, idx):
         from .gather import onehot_gather_pytree
@@ -214,6 +217,9 @@ _DEFAULTS = dict(
     cond_eta=(0.2, 0.4, 1.3),
     cond_k=(3.4, 2.3, 1.7),
     emission=(0.0, 0.0, 0.0),
+    albedo_tex=-1,
+    rough_tex=-1,
+    normal_tex=-1,
 )
 
 
@@ -243,6 +249,9 @@ def make_material_table(materials: Sequence[dict]) -> MaterialTable:
         cond_eta=col("cond_eta", 3),
         cond_k=col("cond_k", 3),
         emission=col("emission", 3),
+        albedo_tex=jnp.asarray([r["albedo_tex"] for r in rows], jnp.int32),
+        rough_tex=jnp.asarray([r["rough_tex"] for r in rows], jnp.int32),
+        normal_tex=jnp.asarray([r["normal_tex"] for r in rows], jnp.int32),
     )
 
 

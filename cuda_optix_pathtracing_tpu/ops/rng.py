@@ -161,6 +161,11 @@ def radical_inverse_owen(index, base: int, scramble_seed, n_digits: int):
     (rng.cu:96-178), re-derived for counter-based use.
     """
     index = _u32(index)
+    scramble_seed = _u32(scramble_seed)
+    # the carry must already have the broadcasted shape: a scalar sample
+    # index with per-pixel scramble seeds would otherwise widen mid-loop
+    shape = jnp.broadcast_shapes(index.shape, scramble_seed.shape)
+    index = jnp.broadcast_to(index, shape)
     base_u = U32(base)
     inv_base = jnp.float32(1.0 / base)
 
@@ -173,7 +178,6 @@ def radical_inverse_owen(index, base: int, scramble_seed, n_digits: int):
         prefix = prefix * base_u + digit + U32(1)
         return idx // base_u, inv_mult * inv_base, value, prefix
 
-    shape = index.shape
     init = (
         index,
         jnp.full(shape, 1.0 / base, jnp.float32),

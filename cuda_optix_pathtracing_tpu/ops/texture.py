@@ -1,0 +1,222 @@
+"""Image textures: packed mip pools, trilinear filtering, ray-cone LOD.
+
+Capability parity with the reference's texture stack (ImageTexturev2 mip
+chains, `core-texture.h:188-330`; trilinear/EWA filtering,
+`core-texture.cu:563-731`; LOD from ray differentials,
+`core-texture.h:47-113`, `core-render.cpp:183-269`) — re-designed for TPU:
+
+- **One flat texel pool.** Every texture and every mip level lives in a
+  single ``(P, C)`` HBM array; per-(texture, level) offset/size metadata
+  is a small table. No per-texture objects, no Morton swizzle (the
+  reference stores mips Morton-ordered for CPU cache locality,
+  `core-texture.h:298-313`; XLA's gather prefers plain row-major), no
+  out-of-core cache (a 1K RGB chain is ~5.6 MB — HBM-resident).
+- **Trilinear, not EWA, first.** Filtering is two bilinear fetches + a
+  lerp — 8 gathers per shading point, fully vectorized over the ray
+  batch. (EWA's data-dependent loop over an ellipse footprint is hostile
+  to fixed-shape SPMD; the reference itself falls back to trilinear for
+  small anisotropy.)
+- **Ray cones, not Igehy differentials, for LOD.** The reference carries
+  4 differential vectors per path and least-squares-projects them at every hit
+  (`approximate_dp_dxy`). A ray cone is 2 scalars of path state (width,
+  spread) with the same screen-space footprint estimate — the standard
+  real-time-RT texture LOD scheme (Akenine-Möller et al., "Texture Level
+  of Detail Strategies for Real-Time Ray Tracing", Ray Tracing Gems
+  ch. 20). ``lod = log2(cone_width · ‖duv/dp‖ · tex_size)``.
+
+Gradients: texel fetches are ``jnp.take`` gathers — differentiable
+w.r.t. the pool (backward = scatter-add), which makes *texture texels*
+optimizable by the inverse renderer for free. The LOD itself is detached
+(footprint choice is a filtering detail, like a pdf).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class TexturePool(NamedTuple):
+    """All textures' full mip chains in one flat array.
+
+    ``L`` is the pool-wide max level count; textures with fewer levels
+    repeat their last (1×1) level in the metadata rows, so any clamped
+    lod indexes valid texels by construction.
+    """
+
+    texels: jnp.ndarray  # (P, 3) f32 — linear-light RGB
+    level_off: jnp.ndarray  # (T, L) i32 start row of (tex, level)
+    level_w: jnp.ndarray  # (T, L) i32
+    level_h: jnp.ndarray  # (T, L) i32
+    n_levels: jnp.ndarray  # (T,) i32
+
+    @property
+    def num_textures(self) -> int:
+        return self.level_off.shape[0]
+
+    @property
+    def max_levels(self) -> int:
+        return self.level_off.shape[1]
+
+
+def downsample2x(img: np.ndarray) -> np.ndarray:
+    """2× box-filter downsample with edge-clamp for odd sizes
+    (reference mip build semantics, core-texture.h:298-313)."""
+    h, w = img.shape[:2]
+    if h > 1 and h % 2:
+        img = np.concatenate([img, img[-1:]], axis=0)
+        h += 1
+    if w > 1 and w % 2:
+        img = np.concatenate([img, img[:, -1:]], axis=1)
+        w += 1
+    nh, nw = max(h // 2, 1), max(w // 2, 1)
+    if h > 1 and w > 1:
+        return img.reshape(nh, 2, nw, 2, -1).mean(axis=(1, 3))
+    if h > 1:
+        return img.reshape(nh, 2, 1, -1).mean(axis=1)
+    if w > 1:
+        return img.reshape(1, nw, 2, -1).mean(axis=2)
+    return img
+
+
+def build_mip_chain(img: np.ndarray) -> list[np.ndarray]:
+    """Full chain down to 1×1, level 0 = the input (linear RGB)."""
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[2] == 1:
+        img = np.repeat(img, 3, axis=2)
+    img = img[:, :, :3]
+    levels = [img]
+    while levels[-1].shape[0] > 1 or levels[-1].shape[1] > 1:
+        levels.append(downsample2x(levels[-1]).astype(np.float32))
+    return levels
+
+
+def build_texture_pool(images: Sequence[np.ndarray]) -> TexturePool:
+    """Host-side pool build: mip all images, concatenate, emit metadata."""
+    if not images:
+        raise ValueError("build_texture_pool needs at least one image")
+    chains = [build_mip_chain(im) for im in images]
+    max_l = max(len(c) for c in chains)
+    texels = []
+    off = 0
+    level_off = np.zeros((len(chains), max_l), np.int32)
+    level_w = np.zeros_like(level_off)
+    level_h = np.zeros_like(level_off)
+    n_levels = np.zeros((len(chains),), np.int32)
+    for t, chain in enumerate(chains):
+        n_levels[t] = len(chain)
+        for l in range(max_l):
+            lv = chain[min(l, len(chain) - 1)]
+            if l < len(chain):
+                level_off[t, l] = off
+                texels.append(lv.reshape(-1, 3))
+                off += lv.shape[0] * lv.shape[1]
+            else:  # repeat last level's metadata (no extra texels)
+                level_off[t, l] = level_off[t, len(chain) - 1]
+            level_w[t, l] = lv.shape[1]
+            level_h[t, l] = lv.shape[0]
+    return TexturePool(
+        texels=jnp.asarray(np.concatenate(texels, axis=0)),
+        level_off=jnp.asarray(level_off),
+        level_w=jnp.asarray(level_w),
+        level_h=jnp.asarray(level_h),
+        n_levels=jnp.asarray(n_levels),
+    )
+
+
+def _meta(pool: TexturePool, tex_id, level):
+    """Per-ray (offset, width, height) for (tex, level) pairs."""
+    flat = tex_id * pool.max_levels + level
+    off = jnp.take(pool.level_off.reshape(-1), flat)
+    w = jnp.take(pool.level_w.reshape(-1), flat)
+    h = jnp.take(pool.level_h.reshape(-1), flat)
+    return off, w, h
+
+
+def sample_bilinear(pool: TexturePool, tex_id, uv, level):
+    """Bilinear fetch at integer mip ``level`` with repeat wrapping.
+
+    ``tex_id`` (N,) i32, ``uv`` (N,2) f32, ``level`` (N,) i32 → (N,3).
+    """
+    off, w, h = _meta(pool, tex_id, level)
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+    # texel-center convention: uv in [0,1), texel i covers [i/w,(i+1)/w)
+    x = uv[..., 0] * wf - 0.5
+    y = uv[..., 1] * hf - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+
+    def tex(xi, yi):
+        xm = jnp.mod(xi.astype(jnp.int32), w)
+        ym = jnp.mod(yi.astype(jnp.int32), h)
+        return jnp.take(pool.texels, off + ym * w + xm, axis=0)
+
+    c00 = tex(x0, y0)
+    c10 = tex(x0 + 1, y0)
+    c01 = tex(x0, y0 + 1)
+    c11 = tex(x0 + 1, y0 + 1)
+    top = c00 * (1 - fx) + c10 * fx
+    bot = c01 * (1 - fx) + c11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def sample_trilinear(pool: TexturePool, tex_id, uv, lod):
+    """Trilinear (bilinear × 2 levels, lerped by frac(lod)).
+
+    ``lod`` is clamped to the texture's own chain; it is detached from
+    autodiff (footprint selection must not carry gradients).
+    """
+    lod = jax.lax.stop_gradient(lod)
+    max_l = (jnp.take(pool.n_levels, tex_id) - 1).astype(jnp.float32)
+    lod = jnp.clip(lod, 0.0, max_l)
+    l0 = jnp.floor(lod)
+    f = (lod - l0)[..., None]
+    l0i = l0.astype(jnp.int32)
+    l1i = jnp.minimum(l0i + 1, max_l.astype(jnp.int32))
+    c0 = sample_bilinear(pool, tex_id, uv, l0i)
+    c1 = sample_bilinear(pool, tex_id, uv, l1i)
+    return c0 * (1 - f) + c1 * f
+
+
+def uv_density(tri_uv: jnp.ndarray, e0: jnp.ndarray, e1: jnp.ndarray):
+    """Per-triangle ‖duv/dp‖ scale: sqrt(uv-area / world-area).
+
+    The scalar form of the reference's dpdu/dpdv least-squares projection
+    (`core-texture.h:58`, `duv_From_dp_dxy`) — isotropic footprint only,
+    which is all a trilinear filter can use.
+    """
+    uve0 = tri_uv[:, 1] - tri_uv[:, 0]
+    uve1 = tri_uv[:, 2] - tri_uv[:, 0]
+    uv_area = jnp.abs(uve0[:, 0] * uve1[:, 1] - uve0[:, 1] * uve1[:, 0])
+    wcross = jnp.cross(e0, e1)
+    w_area = jnp.sqrt(jnp.sum(wcross * wcross, axis=-1))
+    return jnp.sqrt(uv_area / jnp.maximum(w_area, 1e-20))
+
+
+def raycone_lod(pool: TexturePool, tex_id, cone_width, density):
+    """Mip lambda from the ray-cone footprint (Ray Tracing Gems ch. 20):
+    lod = log2(cone_width · density · tex_size_at_level_0)."""
+    _, w0, h0 = _meta(pool, tex_id, jnp.zeros_like(tex_id))
+    size0 = jnp.maximum(w0, h0).astype(jnp.float32)
+    footprint = cone_width * density * size0
+    return jnp.log2(jnp.maximum(footprint, 1e-12))
+
+
+def pixel_cone_spread(cam_from_raster) -> jnp.ndarray:
+    """Angular extent of one pixel at the image center — the camera cone
+    spread α₀ (reference minDifferentialsFromCamera, core-render.cuh:353).
+
+    For the pinhole raster→camera map, one raster step changes the
+    unnormalized direction by the matrix's x column; at the center the
+    direction has unit-ish z, so α ≈ ‖ddir/dx‖ / ‖dir_center‖.
+    """
+    dd = cam_from_raster[:3, 0]
+    return jnp.sqrt(jnp.sum(dd * dd))

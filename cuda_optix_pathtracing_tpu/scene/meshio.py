@@ -96,14 +96,46 @@ def _find_nodes(nodes, name):
     return [n for n in nodes if n[0] == name]
 
 
-def load_fbx(path: str) -> np.ndarray:
-    """Load the first mesh → (T,3,3) float32 triangles (fan-triangulated)."""
+def _fbx_uv_layer(gchildren, idx):
+    """Per-polygon-vertex UVs from a LayerElementUV node, or None.
+
+    Handles the mapping/reference mode matrix the FBX SDK resolves for the
+    reference (core-mesh-parser.cpp checkUV): {ByControlPoint,
+    ByPolygonVertex} × {Direct, IndexToDirect}.
+    """
+    for name, _, lchildren in gchildren:
+        if name != "LayerElementUV":
+            continue
+        uv = mapping = ref = uvidx = None
+        for cname, cprops, _ in lchildren:
+            if cname == "UV" and cprops:
+                uv = np.asarray(cprops[0], np.float64).reshape(-1, 2)
+            elif cname == "UVIndex" and cprops:
+                uvidx = np.asarray(cprops[0], np.int64)
+            elif cname == "MappingInformationType" and cprops:
+                mapping = cprops[0]
+            elif cname == "ReferenceInformationType" and cprops:
+                ref = cprops[0]
+        if uv is None:
+            continue
+        ctrl = np.where(idx < 0, ~idx, idx)  # control-point id per pv
+        if mapping == "ByControlPoint":
+            per_pv = uv[uvidx[ctrl]] if (ref == "IndexToDirect" and uvidx is not None) else uv[ctrl]
+        else:  # ByPolygonVertex (default)
+            pv = np.arange(idx.shape[0])
+            per_pv = uv[uvidx[pv]] if (ref == "IndexToDirect" and uvidx is not None) else uv[pv]
+        return per_pv.astype(np.float32)
+    return None
+
+
+def load_fbx_ex(path: str):
+    """First mesh → ((T,3,3) f32 triangles, (T,3,2) f32 UVs or None)."""
     with open(path, "rb") as f:
         data = f.read()
     if data[: len(_FBX_MAGIC)] == _FBX_MAGIC:
         (version,) = struct.unpack_from("<I", data, 23)
         nodes = _parse_fbx_nodes(data, 27, len(data), version)
-        verts = idx = None
+        verts = idx = per_pv_uv = None
         objects = _find_nodes(nodes, "Objects")
         geoms = []
         for _, _, children in objects:
@@ -114,12 +146,21 @@ def load_fbx(path: str) -> np.ndarray:
             if v and i:
                 verts = np.asarray(v[0][1][0], np.float64).reshape(-1, 3)
                 idx = np.asarray(i[0][1][0], np.int64)
+                per_pv_uv = _fbx_uv_layer(gchildren, idx)
                 break
         if verts is None:
             raise ValueError(f"no mesh geometry found in {path}")
     else:
         verts, idx = _load_fbx_ascii(path)
-    return _triangulate(verts, idx)
+        per_pv_uv = None
+    tris = _triangulate(verts, idx)
+    uvs = _triangulate_attr(idx, per_pv_uv) if per_pv_uv is not None else None
+    return tris, uvs
+
+
+def load_fbx(path: str) -> np.ndarray:
+    """Load the first mesh → (T,3,3) float32 triangles (fan-triangulated)."""
+    return load_fbx_ex(path)[0]
 
 
 def _load_fbx_ascii(path: str):
@@ -154,10 +195,27 @@ def _triangulate(verts: np.ndarray, idx: np.ndarray) -> np.ndarray:
     return verts[t].astype(np.float32)
 
 
-def load_obj(path: str) -> np.ndarray:
-    """Wavefront OBJ positions + faces → (T,3,3) float32 (fan-triangulated)."""
-    verts = []
+def _triangulate_attr(idx: np.ndarray, per_pv: np.ndarray) -> np.ndarray:
+    """Fan-triangulate a per-polygon-vertex attribute with the same fan
+    order as ``_triangulate`` → (T, 3, attr_dim)."""
     tris = []
+    poly = []
+    for pv, i in enumerate(idx):
+        poly.append(pv)
+        if i < 0:
+            for k in range(1, len(poly) - 1):
+                tris.append((poly[0], poly[k], poly[k + 1]))
+            poly = []
+    t = np.asarray(tris, np.int64)
+    return per_pv[t].astype(np.float32)
+
+
+def load_obj_ex(path: str):
+    """Wavefront OBJ → ((T,3,3) triangles, (T,3,2) UVs or None)."""
+    verts = []
+    uvs = []
+    tris = []
+    tri_uv_idx = []
     with open(path, "r", errors="replace") as f:
         for line in f:
             parts = line.split()
@@ -165,19 +223,44 @@ def load_obj(path: str) -> np.ndarray:
                 continue
             if parts[0] == "v":
                 verts.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "vt":
+                uvs.append([float(x) for x in parts[1:3]])
             elif parts[0] == "f":
-                ids = [int(p.split("/")[0]) for p in parts[1:]]
-                ids = [i - 1 if i > 0 else len(verts) + i for i in ids]
+                ids, uids = [], []
+                for p in parts[1:]:
+                    fields = p.split("/")
+                    i = int(fields[0])
+                    ids.append(i - 1 if i > 0 else len(verts) + i)
+                    if len(fields) > 1 and fields[1]:
+                        u = int(fields[1])
+                        uids.append(u - 1 if u > 0 else len(uvs) + u)
+                    else:
+                        uids.append(-1)
                 for k in range(1, len(ids) - 1):
                     tris.append((ids[0], ids[k], ids[k + 1]))
+                    tri_uv_idx.append((uids[0], uids[k], uids[k + 1]))
     v = np.asarray(verts, np.float64)
     t = np.asarray(tris, np.int64)
-    return v[t].astype(np.float32)
+    out_tris = v[t].astype(np.float32)
+    out_uvs = None
+    tu = np.asarray(tri_uv_idx, np.int64)
+    if len(uvs) and len(tu) and (tu >= 0).all():
+        out_uvs = np.asarray(uvs, np.float64)[tu].astype(np.float32)
+    return out_tris, out_uvs
+
+
+def load_obj(path: str) -> np.ndarray:
+    return load_obj_ex(path)[0]
+
+
+def load_mesh_ex(path: str):
+    """Mesh → (triangles (T,3,3), UVs (T,3,2) or None)."""
+    if path.lower().endswith(".obj"):
+        return load_obj_ex(path)
+    if path.lower().endswith(".fbx"):
+        return load_fbx_ex(path)
+    raise ValueError(f"unsupported mesh format: {path}")
 
 
 def load_mesh(path: str) -> np.ndarray:
-    if path.lower().endswith(".obj"):
-        return load_obj(path)
-    if path.lower().endswith(".fbx"):
-        return load_fbx(path)
-    raise ValueError(f"unsupported mesh format: {path}")
+    return load_mesh_ex(path)[0]

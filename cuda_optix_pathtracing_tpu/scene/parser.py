@@ -20,6 +20,7 @@ to the canonical pose (origin, direction (0,0,-1)).
 from __future__ import annotations
 
 import json
+import logging
 import os
 from dataclasses import dataclass
 
@@ -31,8 +32,12 @@ from ..ops.camera import CameraConfig
 from . import meshio, procedural
 from .types import HostScene, Scene, scene_from_host
 
+log = logging.getLogger("dtpt.parser")
+
 _CAMERA_KEYS = {"focalLength", "sensorSize", "direction", "max-depth", "position"}
 _FILM_KEYS = {"resolutionX", "resolutionY", "samples"}
+_TEXTURE_KEYS = {"name", "type", "path"}
+_TEX_TYPES = {"diffuse", "normal", "metallic", "roughness"}
 _MATERIAL_KEYS = {
     "name", "diffuse", "normal", "metallic", "roughness", "ior",
     "ggx-anisotropy", "ggx-dielectric", "oren-nayar-multiscatter",
@@ -90,17 +95,52 @@ def _srt_matrix(srt: dict) -> np.ndarray:
     return m
 
 
-def _material_from_json(mj: dict) -> dict:
-    _check_keys(mj, _MATERIAL_KEYS, f"material '{mj.get('name')}'")
+def _resolve_tex(tex_ids: dict, name: str, want: str, ctx: str) -> int:
+    info = tex_ids.get(name)
+    if info is None:
+        raise SceneParseError(f"{ctx} references unknown texture '{name}'")
+    tid, ttype = info
+    if ttype != want:
+        log.warning(
+            "%s uses texture '%s' of type '%s' where '%s' was expected",
+            ctx, name, ttype, want,
+        )
+    return tid
+
+
+def _material_from_json(mj: dict, tex_ids: dict | None = None) -> dict:
+    tex_ids = tex_ids or {}
+    name = mj.get("name")
+    _check_keys(mj, _MATERIAL_KEYS, f"material '{name}'")
+    extra: dict = {}
     diffuse = mj.get("diffuse", (0.8, 0.8, 0.8))
     if isinstance(diffuse, str):
-        # texture reference — texturing resolved by the caller (tier 2);
-        # fall back to mid-gray constant here
-        diffuse = (0.8, 0.8, 0.8)
+        extra["albedo_tex"] = _resolve_tex(
+            tex_ids, diffuse, "diffuse", f"material '{name}' diffuse"
+        )
+        diffuse = (0.8, 0.8, 0.8)  # fallback constant behind the texture
     roughness = mj.get("roughness", 0.5)
     if isinstance(roughness, str):
+        extra["rough_tex"] = _resolve_tex(
+            tex_ids, roughness, "roughness", f"material '{name}' roughness"
+        )
         roughness = 0.5
-    metallic = float(mj.get("metallic", 0.0))
+    if isinstance(mj.get("normal"), str):
+        extra["normal_tex"] = _resolve_tex(
+            tex_ids, mj["normal"], "normal", f"material '{name}' normal"
+        )
+        log.warning(
+            "material '%s': normal map parsed but normal mapping is not yet "
+            "applied at shading time", name,
+        )
+    metallic = mj.get("metallic", 0.0)
+    if isinstance(metallic, str):
+        log.warning(
+            "material '%s': metallic texture '%s' unsupported (static lobe "
+            "dispatch) — using metallic=0", name, metallic,
+        )
+        metallic = 0.0
+    metallic = float(metallic)
     aniso = float(mj.get("ggx-anisotropy", 0.0))
     alpha = float(roughness) ** 2
     ax = alpha * (1.0 + aniso)
@@ -108,42 +148,63 @@ def _material_from_json(mj: dict) -> dict:
     if metallic >= 0.5:
         f0 = np.clip(np.asarray(diffuse, float), 1e-3, 0.999)
         eta = (1.0 + np.sqrt(f0)) / (1.0 - np.sqrt(f0))
-        return B.ggx_conductor(eta, (0.0, 0.0, 0.0), 0.0, ax, ay)
+        return {**B.ggx_conductor(eta, (0.0, 0.0, 0.0), 0.0, ax, ay), **extra}
     if "ggx-dielectric" in mj:
         g = mj["ggx-dielectric"]
         _check_keys(
             g, {"reflectance-tint", "transmittance-tint"}, "ggx-dielectric"
         )
-        return B.ggx_dielectric(
-            g.get("reflectance-tint", (1.0, 1.0, 1.0)),
-            g.get("transmittance-tint", (0.0, 0.0, 0.0)),
-            0.0,
-            float(mj.get("ior", 1.5)),
-            ax,
-            ay,
-        )
+        return {
+            **B.ggx_dielectric(
+                g.get("reflectance-tint", (1.0, 1.0, 1.0)),
+                g.get("transmittance-tint", (0.0, 0.0, 0.0)),
+                0.0,
+                float(mj.get("ior", 1.5)),
+                ax,
+                ay,
+            ),
+            **extra,
+        }
     sigma = float(roughness) * np.pi / 2.0
-    return B.oren_nayar(diffuse, sigma)
+    return {**B.oren_nayar(diffuse, sigma), **extra}
 
 
-def _object_triangles(oj: dict, base_dir: str) -> list:
+def _object_triangles(oj: dict, base_dir: str) -> tuple[list, list | None]:
+    """→ (triangles, per-triangle UVs or None)."""
     _check_keys(oj, _OBJECT_KEYS, f"object '{oj.get('name')}'")
     otype = oj.get("type", "primitive")
     if otype == "primitive":
         shape = oj.get("shape", "cube")
         if shape == "cube":
-            return procedural.generate_cube((0.0, 0.0, 0.0), (1.0, 1.0, 1.0))
+            return procedural.generate_cube((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)), None
         if shape == "plane":
-            return procedural.generate_plane((0, 0, 0), (0, 0, 1), 1.0, 1.0)
+            return procedural.generate_plane((0, 0, 0), (0, 0, 1), 1.0, 1.0), None
         if shape == "sphere":
-            return procedural.generate_sphere((0.0, 0.0, 0.0), 0.5, 8, 16)
+            return procedural.generate_sphere((0.0, 0.0, 0.0), 0.5, 8, 16), None
         raise SceneParseError(f"unknown primitive shape '{shape}'")
     if otype.upper() == "FBX" or otype.lower() in ("obj", "mesh"):
         path = oj["path"]
         if not os.path.isabs(path):
             path = os.path.join(base_dir, path)
-        return list(meshio.load_mesh(path))
+        tris, uvs = meshio.load_mesh_ex(path)
+        return list(tris), (list(uvs) if uvs is not None else None)
     raise SceneParseError(f"unknown object type '{otype}'")
+
+
+def _load_texture_image(path: str, ttype: str) -> np.ndarray:
+    """PNG → linear-light (H,W,3) f32. Diffuse maps are sRGB-encoded;
+    data maps (roughness/normal/metallic) are read raw."""
+    from ..utils.imageio import read_png, srgb_to_linear
+
+    img = read_png(path)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if ttype == "diffuse":
+        return srgb_to_linear(img[..., :3] if img.shape[2] >= 3 else np.repeat(img[..., :1], 3, 2))
+    x = img.astype(np.float32) / float(np.iinfo(img.dtype).max)
+    if x.shape[2] >= 3:
+        return x[..., :3]
+    return np.repeat(x[..., :1], 3, axis=2)
 
 
 def _light_from_json(lj: dict, transform: np.ndarray | None) -> dict:
@@ -194,9 +255,43 @@ def parse_scene(path: str) -> tuple[HostScene, ParsedScene]:
         sensor_height_mm=float(cam_j.get("sensorSize", 36.0)),
     )
 
+    # textures (reference parseTexture, core-parser.cpp:306-366: keys
+    # name/type/path, type ∈ diffuse|normal|metallic|roughness)
+    tex_ids: dict = {}
+    for tj in doc.get("textures", []):
+        _check_keys(tj, _TEXTURE_KEYS, f"texture '{tj.get('name')}'")
+        tname, ttype = tj["name"], tj["type"]
+        if ttype not in _TEX_TYPES:
+            raise SceneParseError(f"texture '{tname}': unknown type '{ttype}'")
+        if tname in tex_ids:
+            raise SceneParseError(f"texture '{tname}' already exists")
+        tpath = tj["path"]
+        if not os.path.isabs(tpath):
+            tpath = os.path.join(base_dir, tpath)
+        if not os.path.exists(tpath) or not tpath.lower().endswith(".png"):
+            log.warning(
+                "texture '%s': cannot load '%s' (missing or non-PNG) — "
+                "materials referencing it fall back to constants", tname, tpath,
+            )
+            continue
+        tex_ids[tname] = (hs.add_texture(_load_texture_image(tpath, ttype)), ttype)
+
     mat_ids = {}
     for mj in doc.get("materials", []):
-        mat_ids[mj["name"]] = hs.add_material(_material_from_json(mj))
+        try:
+            mat_ids[mj["name"]] = hs.add_material(_material_from_json(mj, tex_ids))
+        except SceneParseError as e:
+            if "unknown texture" in str(e):
+                log.warning("%s — falling back to constant", e)
+                mj2 = {
+                    k: ((0.8, 0.8, 0.8) if k == "diffuse" and isinstance(v, str)
+                        else 0.5 if k == "roughness" and isinstance(v, str)
+                        else v)
+                    for k, v in mj.items() if k != "normal" or not isinstance(v, str)
+                }
+                mat_ids[mj["name"]] = hs.add_material(_material_from_json(mj2, tex_ids))
+            else:
+                raise
     if not mat_ids:
         mat_ids["__default"] = hs.add_material(B.oren_nayar((0.8, 0.8, 0.8), 0.3))
 
@@ -217,12 +312,15 @@ def parse_scene(path: str) -> tuple[HostScene, ParsedScene]:
             oj = objects.get(oname)
             if oj is None:
                 raise SceneParseError(f"world references unknown object '{oname}'")
-            tris = _object_triangles(oj, base_dir)
+            tris, uvs = _object_triangles(oj, base_dir)
             mat = mat_ids[oj.get("material", next(iter(mat_ids)))]
-            for t in tris:
+            for i, t in enumerate(tris):
                 th = np.concatenate([t, np.ones((3, 1), np.float32)], axis=1)
                 hs.triangles.append((th @ m.T)[:, :3].astype(np.float32))
                 hs.tri_mat.append(mat)
+                hs.tri_uv.append(
+                    np.asarray(uvs[i], np.float32) if uvs is not None else None
+                )
         for lname in binding.get("lights", []):
             lj = lights.get(lname)
             if lj is None:
@@ -245,7 +343,15 @@ def parse_scene(path: str) -> tuple[HostScene, ParsedScene]:
             img = read_png(env_path)
             hs.env_image = srgb_to_linear(img[..., :3])
         else:
-            # unsupported format (e.g. .exr) → dim constant fallback
+            reason = (
+                "file not found" if not os.path.exists(env_path)
+                else "unsupported format (PNG only)"
+            )
+            log.warning(
+                "envlight '%s': %s — substituting dim constant environment "
+                "(0.05); the render WILL differ from the authored scene",
+                env_path, reason,
+            )
             hs.env_color = (0.05, 0.05, 0.05)
 
     parsed = ParsedScene(

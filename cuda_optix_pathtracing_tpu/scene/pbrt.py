@@ -15,10 +15,13 @@ renderers; we parse it natively for capability parity):
 
 from __future__ import annotations
 
+import logging
 import re
 from dataclasses import dataclass, field
 
 import numpy as np
+
+log = logging.getLogger("dtpt.parser")
 
 from ..ops.bsdf import diffuse_light, lambert
 from ..ops.camera import CameraConfig
@@ -204,7 +207,9 @@ def parse_pbrt(path: str) -> tuple[HostScene, PbrtScene]:
             for tri in idx:
                 hs.add_model([pts_w[tri].astype(np.float32)], mid)
         else:
-            # unknown directive: skip its parameter block if present
+            # unknown directive: warn loudly, then skip its parameter block —
+            # a silently-dropped directive makes a wrong image look authored
+            log.warning("pbrt: unsupported directive '%s' skipped", tok)
             r.params()
 
     # camera: LookAt world transform → position + direction

@@ -60,6 +60,9 @@ class Scene(NamedTuple):
     tri_emrec: Optional[jnp.ndarray] = None  # (T,) i32 light-tree record id
     # of each (emissive) triangle, −1 for non-emitters; BVH-permuted with
     # the triangle arrays. Used for tree-PMF MIS on direct emitter hits.
+    textures: Optional["TexturePool"] = None  # packed mip pool (ops/texture.py)
+    tri_uv: Optional[jnp.ndarray] = None  # (T,3,2) per-corner UVs
+    tri_uvdens: Optional[jnp.ndarray] = None  # (T,) ‖duv/dp‖ for cone LOD
 
     @property
     def num_triangles(self):
@@ -77,21 +80,31 @@ class HostScene:
 
     triangles: list = field(default_factory=list)  # (3,3) float arrays
     tri_mat: list = field(default_factory=list)
+    tri_uv: list = field(default_factory=list)  # (3,2) per-tri UVs or None
     materials: list = field(default_factory=list)  # bsdf factory dicts
     lights: list = field(default_factory=list)  # light factory dicts
+    textures: list = field(default_factory=list)  # (H,W,3) linear images
     env_color: tuple = (0.0, 0.0, 0.0)
     env_image: object = None  # (H,W,3) radiance array; overrides env_color
     env_rotation: object = None  # (3,3)
     camera: CameraConfig = field(default_factory=CameraConfig)
 
-    def add_model(self, tris: Sequence, mat_id: int):
-        for t in tris:
+    def add_model(self, tris: Sequence, mat_id: int, uvs: Sequence | None = None):
+        for i, t in enumerate(tris):
             self.triangles.append(np.asarray(t, np.float32))
             self.tri_mat.append(mat_id)
+            self.tri_uv.append(
+                np.asarray(uvs[i], np.float32) if uvs is not None else None
+            )
 
     def add_material(self, mat: dict) -> int:
         self.materials.append(mat)
         return len(self.materials) - 1
+
+    def add_texture(self, image) -> int:
+        """Register a linear-RGB image; returns its texture id."""
+        self.textures.append(np.asarray(image, np.float32))
+        return len(self.textures) - 1
 
     def add_light(self, light: dict):
         self.lights.append(light)
@@ -142,11 +155,15 @@ def scene_from_host(
     light_table = make_light_table(lights)
 
     # Conty/Kulla light tree over finite records (point/spot + emissive
-    # tris) — core-light-tree-builder.cpp:306-466 capability
+    # tris) — core-light-tree-builder.cpp:306-466 capability. Count from
+    # the host dicts, not the jnp table: scene_from_host may run under a
+    # jit trace (tree building itself is host-only and stays off then).
     from ..ops.lights import POINT, SPOT
 
-    lt_np = np.asarray(light_table.ltype)
-    n_finite = int(((lt_np == POINT) | (lt_np == SPOT)).sum()) + n_emissive
+    n_finite = (
+        sum(1 for l in lights if l.get("ltype", POINT) in (POINT, SPOT))
+        + n_emissive
+    )
     build_tree = (
         use_light_tree
         if use_light_tree is not None
@@ -164,6 +181,22 @@ def scene_from_host(
                 -1,
             ).astype(np.int32)
 
+    # texture pool + per-triangle UVs (triangles without explicit UVs get
+    # a box mapping so textured materials are well-defined everywhere)
+    textures = None
+    tri_uv = None
+    tri_uvdens = None
+    if hs.textures:
+        from ..ops.texture import build_texture_pool
+
+        textures = build_texture_pool(hs.textures)
+        uv_rows = []
+        for i, uv in enumerate(hs.tri_uv):
+            uv_rows.append(
+                uv if uv is not None else box_map_uv(tris[i])
+            )
+        tri_uv = np.stack(uv_rows).astype(np.float32)  # (T,3,2)
+
     bvh = None
     if use_bvh if use_bvh is not None else (len(tris) >= BVH_THRESHOLD):
         bvh = pack_bvh(build_bvh(v0, e0, e1))
@@ -172,7 +205,15 @@ def scene_from_host(
         e1 = permute_tri_array(e1, bvh.perm)
         tri_mat = permute_tri_array(tri_mat, bvh.perm)
         if tri_emrec is not None:
-            tri_emrec = permute_tri_array(tri_emrec, bvh.perm)
+            tri_emrec = permute_tri_array(tri_emrec, bvh.perm, pad_value=-1)
+        if tri_uv is not None:
+            tri_uv = permute_tri_array(tri_uv, bvh.perm)
+    if tri_uv is not None:
+        from ..ops.texture import uv_density
+
+        tri_uvdens = uv_density(
+            jnp.asarray(tri_uv), jnp.asarray(e0), jnp.asarray(e1)
+        )
 
     return Scene(
         tri_v0=jnp.asarray(v0),
@@ -192,4 +233,19 @@ def scene_from_host(
         tri_emrec=(
             jnp.asarray(tri_emrec) if tri_emrec is not None else None
         ),
+        textures=textures,
+        tri_uv=jnp.asarray(tri_uv) if tri_uv is not None else None,
+        tri_uvdens=tri_uvdens,
     )
+
+
+def box_map_uv(tri: np.ndarray) -> np.ndarray:
+    """Auto-UV for geometry without authored UVs: project each triangle's
+    vertices onto the plane of its dominant normal axis (classic box/triplanar
+    mapping). One world unit = one UV tile."""
+    e0 = tri[1] - tri[0]
+    e1 = tri[2] - tri[0]
+    n = np.abs(np.cross(e0, e1))
+    axis = int(np.argmax(n))
+    keep = [i for i in range(3) if i != axis]
+    return tri[:, keep].astype(np.float32)

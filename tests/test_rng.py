@@ -59,3 +59,21 @@ def test_sampler_facade():
     assert (u1 >= 0).all() and (u1 < 1).all()
     u, v = s.sample_2d(px, py, smp, 3)
     assert np.asarray(u).shape == (8,) and np.asarray(v).shape == (8,)
+
+
+def test_halton_scalar_sample_index_matches_array():
+    # regression: a traced *scalar* sample index with per-pixel scramble
+    # seeds used to widen the fori_loop carry mid-loop (shape error) for
+    # odd-prime bases; scalar and array sample indices must agree exactly
+    import jax
+
+    px = jnp.arange(64, dtype=jnp.uint32)
+    py = px * jnp.uint32(3)
+
+    @jax.jit
+    def scalar_form(s):
+        return R.halton_owen_sample(px, py, s, 2)
+
+    a = scalar_form(jnp.uint32(7))
+    b = R.halton_owen_sample(px, py, jnp.full((64,), 7, jnp.uint32), 2)
+    assert jnp.array_equal(a, b)

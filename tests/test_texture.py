@@ -1,0 +1,168 @@
+"""Texture stack: mip pools, trilinear filtering, ray-cone LOD, UV import.
+
+Reference capability: ImageTexturev2 mip chains + trilinear/EWA filtering
+(core-texture.h:188-330, core-texture.cu:563-731) and LOD from ray
+differentials (core-render.cpp:183-269) — re-designed as a packed texel
+pool + ray cones (ops/texture.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuda_optix_pathtracing_tpu.ops.texture import (
+    build_mip_chain,
+    build_texture_pool,
+    raycone_lod,
+    sample_bilinear,
+    sample_trilinear,
+    uv_density,
+)
+
+
+def checker(n=8):
+    img = np.indices((n, n)).sum(0) % 2
+    return np.stack([img] * 3, -1).astype(np.float32)
+
+
+def test_mip_chain_shapes_and_energy():
+    chain = build_mip_chain(checker(8))
+    assert [l.shape[:2] for l in chain] == [(8, 8), (4, 4), (2, 2), (1, 1)]
+    # box filter preserves the mean exactly on POT sizes
+    for l in chain:
+        np.testing.assert_allclose(l.mean(), 0.5, atol=1e-6)
+
+
+def test_mip_chain_odd_sizes():
+    chain = build_mip_chain(np.ones((5, 3, 3), np.float32))
+    assert chain[-1].shape[:2] == (1, 1)
+    for l in chain:
+        np.testing.assert_allclose(l, 1.0)
+
+
+def test_bilinear_exact_at_texel_centers():
+    pool = build_texture_pool([checker(8)])
+    tid = jnp.zeros((3,), jnp.int32)
+    uv = jnp.asarray([[0.5 / 8, 0.5 / 8], [1.5 / 8, 0.5 / 8], [7.5 / 8, 7.5 / 8]])
+    c = sample_bilinear(pool, tid, uv, jnp.zeros((3,), jnp.int32))
+    np.testing.assert_allclose(np.asarray(c[:, 0]), [0.0, 1.0, 0.0], atol=1e-6)
+
+
+def test_bilinear_wraps():
+    pool = build_texture_pool([checker(8)])
+    tid = jnp.zeros((2,), jnp.int32)
+    # uv and uv+1 must sample identically (repeat wrap)
+    base = jnp.asarray([[0.23, 0.71]])
+    c0 = sample_bilinear(pool, tid[:1], base, jnp.zeros((1,), jnp.int32))
+    c1 = sample_bilinear(pool, tid[:1], base + 1.0, jnp.zeros((1,), jnp.int32))
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1), atol=1e-6)
+
+
+def test_trilinear_blends_and_clamps():
+    pool = build_texture_pool([checker(8)])
+    tid = jnp.zeros((1,), jnp.int32)
+    uv = jnp.asarray([[0.5 / 8, 0.5 / 8]])  # texel (0,0): 0 at level 0
+    c_l0 = sample_trilinear(pool, tid, uv, jnp.asarray([0.0]))
+    c_top = sample_trilinear(pool, tid, uv, jnp.asarray([99.0]))  # clamped
+    c_mid = sample_trilinear(pool, tid, uv, jnp.asarray([0.5]))
+    assert float(c_l0[0, 0]) == 0.0
+    np.testing.assert_allclose(float(c_top[0, 0]), 0.5, atol=1e-6)
+    l0, l1 = float(c_l0[0, 0]), float(
+        sample_trilinear(pool, tid, uv, jnp.asarray([1.0]))[0, 0]
+    )
+    np.testing.assert_allclose(float(c_mid[0, 0]), 0.5 * (l0 + l1), atol=1e-6)
+
+
+def test_pool_multiple_textures_isolated():
+    pool = build_texture_pool([checker(8), np.full((4, 2, 3), 0.25, np.float32)])
+    tid1 = jnp.ones((3,), jnp.int32)
+    uv = jnp.asarray([[0.1, 0.1], [0.6, 0.4], [0.9, 0.9]])
+    c = sample_trilinear(pool, tid1, uv, jnp.asarray([0.0, 1.0, 5.0]))
+    np.testing.assert_allclose(np.asarray(c), 0.25, atol=1e-6)
+
+
+def test_texels_are_differentiable():
+    """Inverse rendering of texture texels: gradient is a scatter-add of
+    the bilinear weights — nonzero exactly at the 4 fetched texels."""
+    pool = build_texture_pool([checker(4)])
+
+    def f(texels):
+        p = pool._replace(texels=texels)
+        c = sample_bilinear(
+            p, jnp.zeros((1,), jnp.int32),
+            jnp.asarray([[0.4, 0.4]]), jnp.zeros((1,), jnp.int32),
+        )
+        return jnp.sum(c)
+
+    g = np.asarray(jax.grad(f)(pool.texels))
+    touched = (np.abs(g).sum(-1) > 0).sum()
+    assert touched == 4
+    # bilinear weights sum to 1 per channel
+    np.testing.assert_allclose(g.sum(axis=0), [1.0, 1.0, 1.0], atol=1e-5)
+
+
+def test_uv_density_scale():
+    # unit right triangle in world, UVs scaled 2×: density = 2
+    tri_uv = jnp.asarray([[[0.0, 0.0], [2.0, 0.0], [0.0, 2.0]]])
+    e0 = jnp.asarray([[1.0, 0.0, 0.0]])
+    e1 = jnp.asarray([[0.0, 1.0, 0.0]])
+    d = uv_density(tri_uv, e0, e1)
+    np.testing.assert_allclose(np.asarray(d), [2.0], rtol=1e-6)
+
+
+def test_raycone_lod_doubles_per_octave():
+    pool = build_texture_pool([checker(64)])
+    tid = jnp.zeros((3,), jnp.int32)
+    dens = jnp.ones((3,))
+    w = jnp.asarray([1.0 / 64, 2.0 / 64, 4.0 / 64])
+    lod = np.asarray(raycone_lod(pool, tid, w, dens))
+    np.testing.assert_allclose(lod, [0.0, 1.0, 2.0], atol=1e-5)
+
+
+def test_textured_render_matches_constant_mean():
+    """A checkerboard (mean 0.5) plane renders the same mean image as a
+    constant 0.5 albedo — and with spatial variance (the texture shows)."""
+    from cuda_optix_pathtracing_tpu.models.megakernel import (
+        MegakernelConfig,
+        render_sample_batch,
+    )
+    from cuda_optix_pathtracing_tpu.ops import bsdf as B
+    from cuda_optix_pathtracing_tpu.ops import lights as L
+    from cuda_optix_pathtracing_tpu.ops.camera import CameraConfig
+    from cuda_optix_pathtracing_tpu.scene.procedural import generate_plane
+    from cuda_optix_pathtracing_tpu.scene.types import HostScene, scene_from_host
+
+    def build(textured):
+        hs = HostScene()
+        hs.camera = CameraConfig(width=32, height=32)
+        hs.add_model(generate_plane((0, 3, 0), (0, -1, 0), 4, 4), 0)
+        if textured:
+            tex = hs.add_texture(checker(8))
+            hs.add_material({**B.lambert((1.0, 1.0, 1.0)), "albedo_tex": tex})
+        else:
+            hs.add_material(B.lambert((0.5, 0.5, 0.5)))
+        hs.add_light(L.point_light((10.0, 10.0, 10.0), (0.0, 1.0, 0.0), 0.01))
+        return scene_from_host(hs)
+
+    cfg = MegakernelConfig(max_depth=2, remat=False, backend="xla")
+    img_t = np.asarray(
+        jax.jit(lambda: render_sample_batch(build(True), cfg, 32, 32, jnp.uint32(0)))()
+    )
+    img_c = np.asarray(
+        jax.jit(lambda: render_sample_batch(build(False), cfg, 32, 32, jnp.uint32(0)))()
+    )
+    assert np.isfinite(img_t).all()
+    np.testing.assert_allclose(img_t.mean(), img_c.mean(), rtol=0.05)
+    # on lit plane pixels, the checker modulates radiance (ratio swings
+    # between ~0 and ~2× the constant render) — texture actually shows
+    lit = img_c[..., 0] > 1e-4
+    ratio = img_t[..., 0][lit] / img_c[..., 0][lit]
+    assert ratio.std() > 0.25, ratio.std()  # constant albedo would give ~0
+
+
+def test_fbx_uv_import():
+    tris, uvs = __import__(
+        "cuda_optix_pathtracing_tpu.scene.meshio", fromlist=["load_mesh_ex"]
+    ).load_mesh_ex("/root/reference/scenes/sphere.fbx")
+    assert uvs is not None and uvs.shape == (tris.shape[0], 3, 2)
+    assert 0.0 <= uvs.min() and uvs.max() <= 1.0 + 1e-6

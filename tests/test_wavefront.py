@@ -41,3 +41,41 @@ def test_wavefront_rejects_halton():
         raise AssertionError("expected ValueError for halton sampler")
     except ValueError:
         pass
+
+
+def test_pool_wavefront_matches_megakernel():
+    """Path-regeneration pool (compaction-by-refill) produces the same
+    film as the dense megakernel — same RNG keying per (pixel, sample),
+    only the fp reduction order differs."""
+    from cuda_optix_pathtracing_tpu.models.wavefront import (
+        WavefrontConfig,
+        render_pool_wavefront,
+    )
+    from cuda_optix_pathtracing_tpu.models.megakernel import (
+        MegakernelConfig,
+        render,
+    )
+    from cuda_optix_pathtracing_tpu.ops.bsdf import mat_features_from_table
+    from cuda_optix_pathtracing_tpu.scene import cornell_box
+
+    w, spp = 32, 4
+    scene = cornell_box(w, w)
+    ft = mat_features_from_table(scene.materials)
+    f1 = render(
+        scene, w, w, spp,
+        cfg=MegakernelConfig(max_depth=4, remat=False, features=ft),
+        kspp=spp,
+    )
+    # pool much smaller than the sample count → many refill generations
+    f2 = render_pool_wavefront(
+        scene, w, w, spp,
+        cfg=WavefrontConfig(max_depth=4, remat=False, features=ft),
+        pool=512,
+    )
+    np.testing.assert_allclose(
+        np.asarray(f1.mean), np.asarray(f2.mean), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(f1.m2), np.asarray(f2.m2), atol=3e-4
+    )
+    assert float(f2.n) == spp
