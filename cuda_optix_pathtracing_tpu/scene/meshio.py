@@ -96,46 +96,59 @@ def _find_nodes(nodes, name):
     return [n for n in nodes if n[0] == name]
 
 
-def _fbx_uv_layer(gchildren, idx):
-    """Per-polygon-vertex UVs from a LayerElementUV node, or None.
+def _fbx_attr_layer(gchildren, idx, layer_name, elem_name, idx_name, dim):
+    """Per-polygon-vertex attribute from a LayerElement node, or None.
 
     Handles the mapping/reference mode matrix the FBX SDK resolves for the
-    reference (core-mesh-parser.cpp checkUV): {ByControlPoint,
+    reference (core-mesh-parser.cpp checkNormal/checkUV): {ByControlPoint,
     ByPolygonVertex} × {Direct, IndexToDirect}.
     """
     for name, _, lchildren in gchildren:
-        if name != "LayerElementUV":
+        if name != layer_name:
             continue
-        uv = mapping = ref = uvidx = None
+        arr = mapping = ref = aidx = None
         for cname, cprops, _ in lchildren:
-            if cname == "UV" and cprops:
-                uv = np.asarray(cprops[0], np.float64).reshape(-1, 2)
-            elif cname == "UVIndex" and cprops:
-                uvidx = np.asarray(cprops[0], np.int64)
+            if cname == elem_name and cprops:
+                arr = np.asarray(cprops[0], np.float64).reshape(-1, dim)
+            elif cname == idx_name and cprops:
+                aidx = np.asarray(cprops[0], np.int64)
             elif cname == "MappingInformationType" and cprops:
                 mapping = cprops[0]
             elif cname == "ReferenceInformationType" and cprops:
                 ref = cprops[0]
-        if uv is None:
+        if arr is None:
             continue
         ctrl = np.where(idx < 0, ~idx, idx)  # control-point id per pv
         if mapping == "ByControlPoint":
-            per_pv = uv[uvidx[ctrl]] if (ref == "IndexToDirect" and uvidx is not None) else uv[ctrl]
+            per_pv = arr[aidx[ctrl]] if (ref == "IndexToDirect" and aidx is not None) else arr[ctrl]
         else:  # ByPolygonVertex (default)
             pv = np.arange(idx.shape[0])
-            per_pv = uv[uvidx[pv]] if (ref == "IndexToDirect" and uvidx is not None) else uv[pv]
+            per_pv = arr[aidx[pv]] if (ref == "IndexToDirect" and aidx is not None) else arr[pv]
         return per_pv.astype(np.float32)
     return None
 
 
-def load_fbx_ex(path: str):
-    """First mesh → ((T,3,3) f32 triangles, (T,3,2) f32 UVs or None)."""
+def _fbx_uv_layer(gchildren, idx):
+    return _fbx_attr_layer(
+        gchildren, idx, "LayerElementUV", "UV", "UVIndex", 2
+    )
+
+
+def _fbx_normal_layer(gchildren, idx):
+    return _fbx_attr_layer(
+        gchildren, idx, "LayerElementNormal", "Normals", "NormalsIndex", 3
+    )
+
+
+def load_fbx_full(path: str):
+    """First mesh → ((T,3,3) f32 triangles, (T,3,2) UVs or None,
+    (T,3,3) per-corner normals or None)."""
     with open(path, "rb") as f:
         data = f.read()
     if data[: len(_FBX_MAGIC)] == _FBX_MAGIC:
         (version,) = struct.unpack_from("<I", data, 23)
         nodes = _parse_fbx_nodes(data, 27, len(data), version)
-        verts = idx = per_pv_uv = None
+        verts = idx = per_pv_uv = per_pv_n = None
         objects = _find_nodes(nodes, "Objects")
         geoms = []
         for _, _, children in objects:
@@ -147,32 +160,55 @@ def load_fbx_ex(path: str):
                 verts = np.asarray(v[0][1][0], np.float64).reshape(-1, 3)
                 idx = np.asarray(i[0][1][0], np.int64)
                 per_pv_uv = _fbx_uv_layer(gchildren, idx)
+                per_pv_n = _fbx_normal_layer(gchildren, idx)
                 break
         if verts is None:
             raise ValueError(f"no mesh geometry found in {path}")
     else:
         verts, idx = _load_fbx_ascii(path)
-        per_pv_uv = None
+        per_pv_uv = per_pv_n = None
     tris = _triangulate(verts, idx)
     uvs = _triangulate_attr(idx, per_pv_uv) if per_pv_uv is not None else None
-    return tris, uvs
+    normals = (
+        _triangulate_attr(idx, per_pv_n) if per_pv_n is not None else None
+    )
+    return tris, uvs, normals
+
+
+def load_fbx_ex(path: str):
+    """First mesh → ((T,3,3) f32 triangles, (T,3,2) f32 UVs or None)."""
+    return load_fbx_full(path)[:2]
 
 
 def load_fbx(path: str) -> np.ndarray:
     """Load the first mesh → (T,3,3) float32 triangles (fan-triangulated)."""
-    return load_fbx_ex(path)[0]
+    return load_fbx_full(path)[0]
 
 
 def _load_fbx_ascii(path: str):
-    """Minimal ASCII FBX: extract the first Vertices/PolygonVertexIndex."""
+    """Minimal ASCII FBX: extract the first Vertices/PolygonVertexIndex.
+
+    (np.fromstring was removed in numpy 2 — parse via str.split.)
+    """
     with open(path, "r", errors="replace") as f:
         text = f.read()
 
     def grab(key):
-        m = re.search(key + r"\s*:\s*\*?\d*\s*\{?\s*a?:?([\s\-0-9.,eE+]+)", text)
+        m = re.search(
+            key + r"\s*:\s*\*?\d*\s*\{?\s*(?:a\s*:)?([\s\-0-9.,eE+]+)", text
+        )
         if not m:
             raise ValueError(f"{key} not found in ASCII FBX")
-        return np.fromstring(m.group(1).replace("\n", " "), sep=",")
+        toks = [t for t in re.split(r"[\s,]+", m.group(1)) if t]
+        try:
+            return np.asarray([float(t) for t in toks], np.float64)
+        except ValueError as e:
+            # e.g. the reference's own bundled teapot-ascii.fbx contains the
+            # malformed literal "0.6351.18075633049011" in its Vertices
+            # array (corrupt upstream asset) — surface a clear diagnosis
+            raise ValueError(
+                f"{path}: malformed number in ASCII FBX {key} array ({e})"
+            ) from None
 
     verts = grab(r"Vertices").reshape(-1, 3)
     idx = grab(r"PolygonVertexIndex").astype(np.int64)
@@ -210,12 +246,15 @@ def _triangulate_attr(idx: np.ndarray, per_pv: np.ndarray) -> np.ndarray:
     return per_pv[t].astype(np.float32)
 
 
-def load_obj_ex(path: str):
-    """Wavefront OBJ → ((T,3,3) triangles, (T,3,2) UVs or None)."""
+def load_obj_full(path: str):
+    """Wavefront OBJ → ((T,3,3) triangles, (T,3,2) UVs or None,
+    (T,3,3) per-corner normals or None)."""
     verts = []
     uvs = []
+    norms = []
     tris = []
     tri_uv_idx = []
+    tri_n_idx = []
     with open(path, "r", errors="replace") as f:
         for line in f:
             parts = line.split()
@@ -225,8 +264,10 @@ def load_obj_ex(path: str):
                 verts.append([float(x) for x in parts[1:4]])
             elif parts[0] == "vt":
                 uvs.append([float(x) for x in parts[1:3]])
+            elif parts[0] == "vn":
+                norms.append([float(x) for x in parts[1:4]])
             elif parts[0] == "f":
-                ids, uids = [], []
+                ids, uids, nids = [], [], []
                 for p in parts[1:]:
                     fields = p.split("/")
                     i = int(fields[0])
@@ -236,9 +277,15 @@ def load_obj_ex(path: str):
                         uids.append(u - 1 if u > 0 else len(uvs) + u)
                     else:
                         uids.append(-1)
+                    if len(fields) > 2 and fields[2]:
+                        nn = int(fields[2])
+                        nids.append(nn - 1 if nn > 0 else len(norms) + nn)
+                    else:
+                        nids.append(-1)
                 for k in range(1, len(ids) - 1):
                     tris.append((ids[0], ids[k], ids[k + 1]))
                     tri_uv_idx.append((uids[0], uids[k], uids[k + 1]))
+                    tri_n_idx.append((nids[0], nids[k], nids[k + 1]))
     v = np.asarray(verts, np.float64)
     t = np.asarray(tris, np.int64)
     out_tris = v[t].astype(np.float32)
@@ -246,21 +293,34 @@ def load_obj_ex(path: str):
     tu = np.asarray(tri_uv_idx, np.int64)
     if len(uvs) and len(tu) and (tu >= 0).all():
         out_uvs = np.asarray(uvs, np.float64)[tu].astype(np.float32)
-    return out_tris, out_uvs
+    out_ns = None
+    tn = np.asarray(tri_n_idx, np.int64)
+    if len(norms) and len(tn) and (tn >= 0).all():
+        out_ns = np.asarray(norms, np.float64)[tn].astype(np.float32)
+    return out_tris, out_uvs, out_ns
+
+
+def load_obj_ex(path: str):
+    return load_obj_full(path)[:2]
 
 
 def load_obj(path: str) -> np.ndarray:
-    return load_obj_ex(path)[0]
+    return load_obj_full(path)[0]
+
+
+def load_mesh_full(path: str):
+    """Mesh → (triangles (T,3,3), UVs (T,3,2) | None, normals (T,3,3) | None)."""
+    if path.lower().endswith(".obj"):
+        return load_obj_full(path)
+    if path.lower().endswith(".fbx"):
+        return load_fbx_full(path)
+    raise ValueError(f"unsupported mesh format: {path}")
 
 
 def load_mesh_ex(path: str):
     """Mesh → (triangles (T,3,3), UVs (T,3,2) or None)."""
-    if path.lower().endswith(".obj"):
-        return load_obj_ex(path)
-    if path.lower().endswith(".fbx"):
-        return load_fbx_ex(path)
-    raise ValueError(f"unsupported mesh format: {path}")
+    return load_mesh_full(path)[:2]
 
 
 def load_mesh(path: str) -> np.ndarray:
-    return load_mesh_ex(path)[0]
+    return load_mesh_full(path)[0]

@@ -169,25 +169,36 @@ def _material_from_json(mj: dict, tex_ids: dict | None = None) -> dict:
     return {**B.oren_nayar(diffuse, sigma), **extra}
 
 
-def _object_triangles(oj: dict, base_dir: str) -> tuple[list, list | None]:
-    """→ (triangles, per-triangle UVs or None)."""
+def _object_triangles(oj: dict, base_dir: str):
+    """→ ((T,3,3) triangles, (T,3,2) UVs | None, (T,3,3) normals | None).
+
+    Meshes without authored normals get computeSmoothNormals(66°) parity
+    (reference core-trianglemesh.cpp) via the native runtime; primitives
+    stay flat (the reference's procedural shapes are faceted too).
+    """
     _check_keys(oj, _OBJECT_KEYS, f"object '{oj.get('name')}'")
     otype = oj.get("type", "primitive")
     if otype == "primitive":
         shape = oj.get("shape", "cube")
         if shape == "cube":
-            return procedural.generate_cube((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)), None
-        if shape == "plane":
-            return procedural.generate_plane((0, 0, 0), (0, 0, 1), 1.0, 1.0), None
-        if shape == "sphere":
-            return procedural.generate_sphere((0.0, 0.0, 0.0), 0.5, 8, 16), None
-        raise SceneParseError(f"unknown primitive shape '{shape}'")
+            tris = procedural.generate_cube((0.0, 0.0, 0.0), (1.0, 1.0, 1.0))
+        elif shape == "plane":
+            tris = procedural.generate_plane((0, 0, 0), (0, 0, 1), 1.0, 1.0)
+        elif shape == "sphere":
+            tris = procedural.generate_sphere((0.0, 0.0, 0.0), 0.5, 8, 16)
+        else:
+            raise SceneParseError(f"unknown primitive shape '{shape}'")
+        return np.stack(tris).astype(np.float32), None, None
     if otype.upper() == "FBX" or otype.lower() in ("obj", "mesh"):
         path = oj["path"]
         if not os.path.isabs(path):
             path = os.path.join(base_dir, path)
-        tris, uvs = meshio.load_mesh_ex(path)
-        return list(tris), (list(uvs) if uvs is not None else None)
+        tris, uvs, normals = meshio.load_mesh_full(path)
+        if normals is None and len(tris):
+            from ..native import smooth_normals
+
+            normals = smooth_normals(tris, crease_deg=66.0)
+        return np.asarray(tris, np.float32), uvs, normals
     raise SceneParseError(f"unknown object type '{otype}'")
 
 
@@ -312,15 +323,33 @@ def parse_scene(path: str) -> tuple[HostScene, ParsedScene]:
             oj = objects.get(oname)
             if oj is None:
                 raise SceneParseError(f"world references unknown object '{oname}'")
-            tris, uvs = _object_triangles(oj, base_dir)
+            tris, uvs, normals = _object_triangles(oj, base_dir)
             mat = mat_ids[oj.get("material", next(iter(mat_ids)))]
-            for i, t in enumerate(tris):
-                th = np.concatenate([t, np.ones((3, 1), np.float32)], axis=1)
-                hs.triangles.append((th @ m.T)[:, :3].astype(np.float32))
-                hs.tri_mat.append(mat)
-                hs.tri_uv.append(
-                    np.asarray(uvs[i], np.float32) if uvs is not None else None
+            # batched world transform (native dtpt_transform_tris;
+            # normals by inverse-transpose, renormalized)
+            from ..native import transform_tris
+
+            tw = transform_tris(tris, m)
+            nw = None
+            if normals is not None:
+                nit = np.linalg.inv(m[:3, :3]).T
+                nw = np.asarray(normals, np.float32) @ nit.T.astype(np.float32)
+                nw = nw / np.maximum(
+                    np.linalg.norm(nw, axis=-1, keepdims=True), 1e-20
                 )
+            t0 = len(hs.triangles)
+            hs.triangles.extend(tw)
+            hs.tri_mat.extend([mat] * len(tw))
+            hs.tri_uv.extend(
+                list(np.asarray(uvs, np.float32)) if uvs is not None
+                else [None] * len(tw)
+            )
+            hs.tri_ns.extend(
+                [None] * (t0 - len(hs.tri_ns))
+            )  # keep aligned if earlier appends bypassed add_model
+            hs.tri_ns.extend(
+                list(nw) if nw is not None else [None] * len(tw)
+            )
         for lname in binding.get("lights", []):
             lj = lights.get(lname)
             if lj is None:

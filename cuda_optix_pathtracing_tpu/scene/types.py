@@ -63,6 +63,11 @@ class Scene(NamedTuple):
     textures: Optional["TexturePool"] = None  # packed mip pool (ops/texture.py)
     tri_uv: Optional[jnp.ndarray] = None  # (T,3,2) per-corner UVs
     tri_uvdens: Optional[jnp.ndarray] = None  # (T,) ‖duv/dp‖ for cone LOD
+    tri_ns: Optional[jnp.ndarray] = None  # (T,3,3) per-corner shading
+    # normals (unit, mesh orientation); None = flat shading everywhere.
+    # Interpolated barycentrically at hits and aligned to the incident-side
+    # geometric normal (reference computeSmoothNormals + shading-normal
+    # interpolation, core-trianglemesh.cpp / core-render.cpp:183-269).
 
     @property
     def num_triangles(self):
@@ -81,6 +86,8 @@ class HostScene:
     triangles: list = field(default_factory=list)  # (3,3) float arrays
     tri_mat: list = field(default_factory=list)
     tri_uv: list = field(default_factory=list)  # (3,2) per-tri UVs or None
+    tri_ns: list = field(default_factory=list)  # (3,3) per-corner shading
+    # normals or None (flat)
     materials: list = field(default_factory=list)  # bsdf factory dicts
     lights: list = field(default_factory=list)  # light factory dicts
     textures: list = field(default_factory=list)  # (H,W,3) linear images
@@ -89,12 +96,23 @@ class HostScene:
     env_rotation: object = None  # (3,3)
     camera: CameraConfig = field(default_factory=CameraConfig)
 
-    def add_model(self, tris: Sequence, mat_id: int, uvs: Sequence | None = None):
+    def add_model(
+        self,
+        tris: Sequence,
+        mat_id: int,
+        uvs: Sequence | None = None,
+        normals: Sequence | None = None,
+    ):
         for i, t in enumerate(tris):
             self.triangles.append(np.asarray(t, np.float32))
             self.tri_mat.append(mat_id)
             self.tri_uv.append(
                 np.asarray(uvs[i], np.float32) if uvs is not None else None
+            )
+            self.tri_ns.append(
+                np.asarray(normals[i], np.float32)
+                if normals is not None
+                else None
             )
 
     def add_material(self, mat: dict) -> int:
@@ -197,6 +215,26 @@ def scene_from_host(
             )
         tri_uv = np.stack(uv_rows).astype(np.float32)  # (T,3,2)
 
+    # per-corner shading normals: built when any triangle has authored
+    # normals; un-authored triangles fall back to their flat face normal
+    # so interpolation is a no-op there
+    tri_ns = None
+    ns_list = list(hs.tri_ns) + [None] * (len(tris) - len(hs.tri_ns))
+    if any(n is not None for n in ns_list):
+        face_n = np.cross(e0, e1)
+        face_n = face_n / np.maximum(
+            np.linalg.norm(face_n, axis=1, keepdims=True), 1e-20
+        )
+        ns_rows = [
+            (
+                np.asarray(n, np.float32)
+                if n is not None
+                else np.broadcast_to(face_n[i], (3, 3))
+            )
+            for i, n in enumerate(ns_list)
+        ]
+        tri_ns = np.stack(ns_rows).astype(np.float32)  # (T,3,3)
+
     bvh = None
     if use_bvh if use_bvh is not None else (len(tris) >= BVH_THRESHOLD):
         bvh = pack_bvh(build_bvh(v0, e0, e1))
@@ -208,6 +246,8 @@ def scene_from_host(
             tri_emrec = permute_tri_array(tri_emrec, bvh.perm, pad_value=-1)
         if tri_uv is not None:
             tri_uv = permute_tri_array(tri_uv, bvh.perm)
+        if tri_ns is not None:
+            tri_ns = permute_tri_array(tri_ns, bvh.perm)
     if tri_uv is not None:
         from ..ops.texture import uv_density
 
@@ -236,6 +276,7 @@ def scene_from_host(
         textures=textures,
         tri_uv=jnp.asarray(tri_uv) if tri_uv is not None else None,
         tri_uvdens=tri_uvdens,
+        tri_ns=jnp.asarray(tri_ns) if tri_ns is not None else None,
     )
 
 
