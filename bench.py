@@ -23,6 +23,7 @@ def main():
     from cuda_optix_pathtracing_tpu.models.megakernel import (
         MegakernelConfig,
         render_progressive,
+        resolve_fused,
     )
     from cuda_optix_pathtracing_tpu.ops.film import film_new
     from cuda_optix_pathtracing_tpu.ops.bsdf import mat_features_from_table
@@ -30,9 +31,9 @@ def main():
     width = height = 256
     kspp = 8
     scene = cornell_box(width, height)
-    cfg = MegakernelConfig(
+    cfg = resolve_fused(scene, MegakernelConfig(
         max_depth=5, remat=False, features=mat_features_from_table(scene.materials)
-    )
+    ))
     film = film_new(height, width)
 
     spp_per_pass = 1

@@ -64,6 +64,11 @@ def init_params(scene: Scene, keys=("albedo",)) -> dict:
 @partial(jax.jit, static_argnames=("cfg", "width", "height", "spp"))
 def render_mean(scene: Scene, cfg: MegakernelConfig, width, height, spp, sample_offset=0):
     """Mean image over ``spp`` samples (differentiable)."""
+    import dataclasses
+
+    # the fused Pallas megakernel has no vjp — gradient paths must stay
+    # on the XLA integrator (identical estimator, verified ≤2e-9 apart)
+    cfg = dataclasses.replace(cfg, fused="off")
 
     def step(mean, s):
         r = render_sample_batch(scene, cfg, width, height, jnp.uint32(sample_offset) + s)

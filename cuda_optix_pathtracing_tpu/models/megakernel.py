@@ -100,6 +100,12 @@ class MegakernelConfig:
     nee_splits: int = 1  # 1|2|4 deterministic root-frontier subtrees, one
     # shadow ray each (reference adaptive split ≤4 budget,
     # core-light-tree-builder.cpp:469-569); tree strategy only
+    fused: str = "auto"  # "auto" | "on" | "off": the fully-fused Pallas
+    # path-loop megakernel (models/megakernel_pallas.py) for supported
+    # scenes (Cornell-class: brute force, ON+GGX-dielectric, point/spot,
+    # constant env). ~2× the XLA-fused integrator; forward-only (no vjp)
+    # — gradient paths must set "off". auto = on for TPU backends when
+    # the scene qualifies.
 
 
 def _use_pallas(cfg: "MegakernelConfig") -> bool:
@@ -180,6 +186,45 @@ def _any(scene: Scene, cfg, o, d, t_max, alive=None):
     return intersect_any(
         o, d, scene.tri_v0, scene.tri_e0, scene.tri_e1, t_max, chunk=cfg.tri_chunk
     )
+
+
+def _use_fused(cfg, scene) -> bool:
+    if cfg.fused == "off":
+        return False
+    from .megakernel_pallas import pallas_megakernel_supported
+
+    if cfg.fused == "on":
+        return True  # caller asserts support (resolve_fused validates)
+    # "auto": supportedness depends on concrete scene values (material /
+    # light type sets). Under a jit trace those are unavailable — resolve
+    # with resolve_fused() outside jit (render() does) to get the fused
+    # kernel; the traced fallback is conservative.
+    if not _use_pallas(cfg):
+        return False
+    try:
+        return pallas_megakernel_supported(scene, cfg)
+    except jax.errors.TracerArrayConversionError:
+        return False
+
+
+def resolve_fused(scene: Scene, cfg: "MegakernelConfig") -> "MegakernelConfig":
+    """Pin cfg.fused to "on"/"off" for a CONCRETE scene (call outside
+    jit). "on" is validated against the fused kernel's feature set."""
+    import dataclasses
+
+    from .megakernel_pallas import pallas_megakernel_supported
+
+    if cfg.fused == "on":
+        if not pallas_megakernel_supported(scene, cfg):
+            raise ValueError(
+                "fused='on' but the scene/config is outside the fused "
+                "kernel's feature set (see megakernel_pallas.py docstring)"
+            )
+        return cfg
+    if cfg.fused == "off":
+        return cfg
+    on = _use_pallas(cfg) and pallas_megakernel_supported(scene, cfg)
+    return dataclasses.replace(cfg, fused="on" if on else "off")
 
 
 def _use_morton(cfg, scene, width, height) -> bool:
@@ -681,9 +726,11 @@ def render_sample_batch(scene: Scene, cfg: MegakernelConfig, width, height, samp
     """Render ``nspp`` samples for every pixel → (nspp, H, W, 3) radiance
     (or (H, W, 3) when nspp == 1).
 
-    Samples are *flattened into the ray batch* rather than looped: a
-    TPU wants the largest dense batch it can hold — measured ~1.5×
-    throughput at nspp=4 vs 1 on cornell 256² (scripts history).
+    Samples can be *flattened into the ray batch* rather than looped.
+    NOTE: re-measured r3 on the current integrator: nspp=4 is ~12% SLOWER
+    than nspp=1 at 256² (17.2 → 15.3 Mpaths/s) — the batch is already
+    big enough to fill the VPU and the larger footprint hurts VMEM
+    staging. Kept for small-resolution renders where the batch is tiny.
     """
     morton = _use_morton(cfg, scene, width, height)
     if morton:
@@ -713,7 +760,16 @@ def render_sample_batch(scene: Scene, cfg: MegakernelConfig, width, height, samp
         fw = None
         p_film = pix + jnp.stack([u1, u2], axis=-1)
     o, d = generate_rays(p_film, scene.cam_from_raster, scene.world_from_cam)
-    radiance = trace_paths(scene, cfg, px, py, sample, o, d)
+    if _use_fused(cfg, scene):
+        from .megakernel_pallas import trace_paths_fused
+
+        radiance = trace_paths_fused(
+            scene, px, py, sample, o, d,
+            max_depth=cfg.max_depth, rr_start_depth=cfg.rr_start_depth,
+            seed=cfg.seed,
+        )
+    else:
+        radiance = trace_paths(scene, cfg, px, py, sample, o, d)
     if fw is not None:
         radiance = radiance * fw[:, None]
     if morton:
@@ -755,7 +811,7 @@ def render_progressive(scene: Scene, film: Film, cfg: MegakernelConfig, width, h
 
 def render(scene: Scene, width: int, height: int, spp: int, cfg: MegakernelConfig | None = None, kspp: int = 4, film: Film | None = None, progress_cb=None, spp_per_pass: int = 1):
     """Host-side progressive render loop (checkpointable between batches)."""
-    cfg = cfg or MegakernelConfig()
+    cfg = resolve_fused(scene, cfg or MegakernelConfig())
     film = film if film is not None else film_new(height, width)
     done = int(film.n)
     while done < spp:

@@ -53,7 +53,14 @@ def onehot_gather_pytree(tree, idx):
     packed = jnp.concatenate(cols, axis=1)  # (M, F)
 
     oh = jax.nn.one_hot(idx, m, dtype=jnp.float32)  # (N, M)
-    flat = oh @ packed  # (N, F) — MXU
+    # precision=HIGHEST is load-bearing: the TPU MXU's default precision
+    # multiplies in bf16, which ROUNDS THE GATHERED VALUES — triangle
+    # vertices fetched through this path lost ~3 decimal digits (≈5 mm on
+    # a 2 m scene), flipping marginal shadow-ray occlusions and biasing
+    # the image ~-1.5% (found by diffing against the fused Pallas
+    # megakernel, which matched the fp32 CPU render exactly). The one-hot
+    # operand is exact 0/1 either way; the TABLE operand must stay f32.
+    flat = jnp.matmul(oh, packed, precision=jax.lax.Precision.HIGHEST)
 
     outs = []
     off = 0

@@ -1,0 +1,104 @@
+"""Fused Pallas path-loop megakernel: estimator parity with the XLA
+integrator (interpret mode on CPU; on TPU the two agree to ~1e-9 after
+the one-hot-gather precision fix — see ops/gather.py)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cuda_optix_pathtracing_tpu.models.megakernel import (
+    MegakernelConfig,
+    resolve_fused,
+    trace_paths,
+)
+from cuda_optix_pathtracing_tpu.models.megakernel_pallas import (
+    pallas_megakernel_supported,
+    trace_paths_fused,
+)
+from cuda_optix_pathtracing_tpu.ops import rng as R
+from cuda_optix_pathtracing_tpu.ops.camera import generate_rays, pixel_centers
+from cuda_optix_pathtracing_tpu.scene import cornell_box
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return cornell_box(32, 32)
+
+
+def _camera_rays(scene, w, h, sample):
+    pix = pixel_centers(w, h)
+    px = pix[:, 0].astype(jnp.uint32)
+    py = pix[:, 1].astype(jnp.uint32)
+    s = R.Sampler("hash", 0)
+    u1, u2 = s.sample_2d(px, py, sample, R.Dim.CAMERA_U)
+    o, d = generate_rays(
+        pix + jnp.stack([u1, u2], -1), scene.cam_from_raster,
+        scene.world_from_cam,
+    )
+    return px, py, o, d
+
+
+def test_fused_matches_xla_integrator(scene):
+    """Per-sample radiance agrees with the XLA integrator (same RNG keys,
+    same estimator) up to float reassociation."""
+    w = h = 32
+    cfg = MegakernelConfig(max_depth=3, remat=False, backend="xla")
+    acc_x = acc_f = 0.0
+    for k in range(4):
+        samp = jnp.uint32(k)
+        px, py, o, d = _camera_rays(scene, w, h, samp)
+        acc_x = acc_x + np.asarray(trace_paths(scene, cfg, px, py, samp, o, d))
+        acc_f = acc_f + np.asarray(
+            trace_paths_fused(
+                scene, px, py, samp, o, d, max_depth=3, interpret=True
+            )
+        )
+    assert np.isfinite(acc_f).all()
+    # identical estimator: mean error is reassociation-level, and any
+    # residual binary flips (shadow/lobe decisions on borderline floats)
+    # must be rare
+    diff = np.abs(acc_x - acc_f) / 4.0
+    assert diff.mean() < 1e-4
+    assert (diff.max(-1) > 1e-3).mean() < 0.005
+
+
+def test_supported_predicate(scene):
+    cfg = MegakernelConfig()
+    assert pallas_megakernel_supported(scene, cfg)
+    # halton sampler → unsupported
+    assert not pallas_megakernel_supported(
+        scene, dataclasses.replace(cfg, sampler="halton")
+    )
+    # env NEE → unsupported
+    assert not pallas_megakernel_supported(
+        scene, dataclasses.replace(cfg, env_nee=True)
+    )
+    # textured / BVH scenes → unsupported
+    assert not pallas_megakernel_supported(
+        scene._replace(bvh=object()), cfg
+    )
+
+
+def test_resolve_fused(scene):
+    cfg = resolve_fused(scene, MegakernelConfig())
+    assert cfg.fused in ("on", "off")  # resolved, never "auto"
+    with pytest.raises(ValueError, match="feature set"):
+        resolve_fused(
+            scene, MegakernelConfig(fused="on", sampler="halton")
+        )
+
+
+def test_fused_deterministic(scene):
+    w = h = 32
+    samp = jnp.uint32(3)
+    px, py, o, d = _camera_rays(scene, w, h, samp)
+    a = np.asarray(
+        trace_paths_fused(scene, px, py, samp, o, d, max_depth=2, interpret=True)
+    )
+    b = np.asarray(
+        trace_paths_fused(scene, px, py, samp, o, d, max_depth=2, interpret=True)
+    )
+    np.testing.assert_array_equal(a, b)
