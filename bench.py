@@ -1,11 +1,21 @@
-"""Benchmark: Cornell-box path tracing throughput on the local accelerator.
+"""Benchmark: path-tracing throughput on the local accelerator.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-Baseline: the reference CUDA megakernel renders 256²×2048spp in ≈15,546 ms
-on a GTX 1070 (docs/dmt-mk_roofline_point.txt, BASELINE.md) →
-≈ 8.63 M camera paths/s. We report camera paths/s on the same scene and
-resolution with the depth-5 NEE integrator.
+Headline metric: Cornell box 256² depth-5 camera paths/s through the
+fused Pallas megakernel (the reference CUDA megakernel's own measured
+workload — 256²×2048spp in ≈15,546 ms on a GTX 1070 ⇒ ≈8.63 Mpaths/s,
+docs/dmt-mk_roofline_point.txt, BASELINE.md).
+
+extra:
+- cornell_mesh_bvh_mpaths: the same estimator on the BVH-exercising
+  mesh Cornell (two subdiv-64 spheres ≈ 8.3k tris, BASELINE config 4
+  class) through bvh_closest_pallas with octant/Morton ray sorting.
+- vpu_tflops / vpu_fraction: sustained fp32 FLOP/s of the headline run
+  against the ~3.9 TFLOP/s v5e VPU fp32 ceiling (flop count per path:
+  5 bounces × [26 tris × (45 MT closest + 45 fetch + 45 anyhit)] +
+  5 × ~800 shading ≈ 21.5 kflop) — the roofline fraction VERDICT r2
+  asked for.
 """
 
 import json
@@ -18,44 +28,63 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _throughput(scene, cfg, width, height, kspp, iters=4):
+    from cuda_optix_pathtracing_tpu.models.megakernel import render_progressive
+    from cuda_optix_pathtracing_tpu.ops.film import film_new
+
+    film = film_new(height, width)
+    film = render_progressive(
+        scene, film, cfg, width, height, jnp.uint32(0), kspp, 1
+    )
+    film.mean.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(iters):
+        film = render_progressive(
+            scene, film, cfg, width, height, jnp.uint32((i + 1) * kspp), kspp, 1
+        )
+    film.mean.block_until_ready()
+    dt = time.perf_counter() - t0
+    return width * height * kspp * iters / dt / 1e6
+
+
 def main():
     from cuda_optix_pathtracing_tpu.scene import cornell_box
+    from cuda_optix_pathtracing_tpu.scene.procedural import cornell_box_mesh
     from cuda_optix_pathtracing_tpu.models.megakernel import (
         MegakernelConfig,
-        render_progressive,
         resolve_fused,
     )
-    from cuda_optix_pathtracing_tpu.ops.film import film_new
     from cuda_optix_pathtracing_tpu.ops.bsdf import mat_features_from_table
 
     width = height = 256
     kspp = 8
+
+    # --- headline: procedural Cornell through the fused Pallas kernel ---
     scene = cornell_box(width, height)
-    cfg = resolve_fused(scene, MegakernelConfig(
-        max_depth=5, remat=False, features=mat_features_from_table(scene.materials)
-    ))
-    film = film_new(height, width)
-
-    spp_per_pass = 1
-
-    # warmup / compile
-    film = render_progressive(
-        scene, film, cfg, width, height, jnp.uint32(0), kspp, spp_per_pass
+    cfg = resolve_fused(
+        scene,
+        MegakernelConfig(
+            max_depth=5,
+            remat=False,
+            features=mat_features_from_table(scene.materials),
+        ),
     )
-    film.mean.block_until_ready()
+    mpaths_s = _throughput(scene, cfg, width, height, kspp)
 
-    iters = 4
-    t0 = time.perf_counter()
-    for i in range(iters):
-        film = render_progressive(
-            scene, film, cfg, width, height, jnp.uint32((i + 1) * kspp), kspp,
-            spp_per_pass,
-        )
-    film.mean.block_until_ready()
-    dt = time.perf_counter() - t0
+    # --- BVH metric: mesh Cornell through the packet-BVH kernel ---
+    scene_m = cornell_box_mesh(width, height, subdiv=64)
+    cfg_m = MegakernelConfig(
+        max_depth=5,
+        remat=False,
+        features=mat_features_from_table(scene_m.materials),
+    )
+    mpaths_bvh = _throughput(scene_m, cfg_m, width, height, 4, iters=3)
 
-    paths = width * height * kspp * iters
-    mpaths_s = paths / dt / 1e6
+    # --- roofline fraction of the headline run ---
+    flops_per_path = 5 * (26 * (45 + 45 + 45)) + 5 * 800  # ≈ 21.5 kflop
+    vpu_tflops = mpaths_s * 1e6 * flops_per_path / 1e12
+    vpu_peak = 3.9  # v5e fp32 VPU (8×128 lanes × 4 ALUs × 0.94 GHz)
+
     baseline_mpaths_s = 8.63  # GTX 1070 reference megakernel
     print(
         json.dumps(
@@ -64,6 +93,11 @@ def main():
                 "value": round(mpaths_s, 3),
                 "unit": "Mpaths/s",
                 "vs_baseline": round(mpaths_s / baseline_mpaths_s, 3),
+                "extra": {
+                    "cornell_mesh_bvh_mpaths": round(mpaths_bvh, 3),
+                    "vpu_tflops": round(vpu_tflops, 3),
+                    "vpu_fraction": round(vpu_tflops / vpu_peak, 3),
+                },
             }
         )
     )
