@@ -146,7 +146,9 @@ def sample_uniform_disk(u1, u2):
         b / jnp.where(a == 0.0, 1.0, a),
         a / jnp.where(b == 0.0, 1.0, b),
     )
-    phi = jnp.where(a_dom, (PI / 4.0) * ratio, (3.0 * PI / 4.0) * ratio)
+    # Shirley–Chiu second branch: π/2 − (π/4)·ratio (keep in sync with
+    # ops/sampling.py sample_uniform_disk)
+    phi = jnp.where(a_dom, (PI / 4.0) * ratio, PI / 2.0 - (PI / 4.0) * ratio)
     zero = (a == 0.0) & (b == 0.0)
     x = jnp.where(zero, 0.0, rho * jnp.cos(phi))
     y = jnp.where(zero, 0.0, rho * jnp.sin(phi))

@@ -450,7 +450,9 @@ def _np_concentric_disk(u1, u2):
     with np.errstate(divide="ignore", invalid="ignore"):
         ratio = np.where(a_dom, b / a, a / b)
     ratio = np.nan_to_num(ratio)
-    phi = np.where(a_dom, (np.pi / 4) * ratio, (3 * np.pi / 4) * ratio)
+    # Shirley–Chiu second branch: π/2 − (π/4)·ratio (keep in sync with
+    # ops/sampling.py sample_uniform_disk)
+    phi = np.where(a_dom, (np.pi / 4) * ratio, np.pi / 2 - (np.pi / 4) * ratio)
     zero = (a == 0) & (b == 0)
     return np.where(zero, 0.0, rho * np.cos(phi)), np.where(zero, 0.0, rho * np.sin(phi))
 

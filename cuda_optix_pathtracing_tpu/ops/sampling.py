@@ -30,7 +30,11 @@ def sample_uniform_disk(u1, u2):
     rho = jnp.where(a_dom, a, b)
     # guard 0/0 at the origin
     ratio = jnp.where(a_dom, b / jnp.where(a == 0.0, 1.0, a), a / jnp.where(b == 0.0, 1.0, b))
-    phi = jnp.where(a_dom, (PI / 4.0) * ratio, (3.0 * PI / 4.0) * ratio)
+    # Shirley–Chiu: φ = (π/4)(b/a) in the |a|-dominant wedges,
+    # φ = π/2 − (π/4)(a/b) otherwise. (An earlier version used
+    # (3π/4)·(a/b) for the second branch, which folds azimuth density
+    # 2:1 by quadrant — caught by the envmap φ-histogram test.)
+    phi = jnp.where(a_dom, (PI / 4.0) * ratio, PI / 2.0 - (PI / 4.0) * ratio)
     zero = (a == 0.0) & (b == 0.0)
     x = jnp.where(zero, 0.0, rho * jnp.cos(phi))
     y = jnp.where(zero, 0.0, rho * jnp.sin(phi))

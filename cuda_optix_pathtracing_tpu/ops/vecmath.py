@@ -15,6 +15,7 @@ Conventions follow the reference renderer (behavioural parity, new code):
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 INV_PI = 1.0 / jnp.pi
 PI = jnp.pi
@@ -159,7 +160,9 @@ def refract_angle(incident, normal, cos_theta_t, inv_eta):
 # Watertight ray offsetting (error-bound based)
 # ---------------------------------------------------------------------------
 
-_MACHINE_EPS = jnp.float32(5.960464477539063e-08)  # 2^-24
+# np (not jnp): a module-level jnp scalar would initialise the XLA
+# backend at import, breaking jax.distributed.initialize ordering
+_MACHINE_EPS = np.float32(5.960464477539063e-08)  # 2^-24
 
 
 def float_gamma(n: int):

@@ -26,6 +26,17 @@ def main(argv=None) -> int:
     cfg = parse_args(argv)
     _select_device(cfg.device)
 
+    process_index = 0
+    if cfg.coordinator or cfg.num_processes:
+        # must run before any package import that touches the XLA backend
+        from ..parallel.distributed import init_distributed
+
+        process_index = init_distributed(
+            cfg.coordinator or None,
+            cfg.num_processes or None,
+            cfg.process_id if cfg.process_id >= 0 else None,
+        )
+
     import numpy as np
 
     from ..models.megakernel import MegakernelConfig, render
@@ -100,6 +111,19 @@ def main(argv=None) -> int:
             f"{base}_sqrt_mse{ext}",
             np.asarray(to_uint8(srgb_encode(film_sqrt_mse(f)))),
         )
+
+    if cfg.coordinator or cfg.num_processes:
+        # multi-host: pixels sharded over the global mesh, film assembled
+        # on every host; rank 0 writes outputs
+        from ..parallel.distributed import render_multihost
+
+        film = render_multihost(
+            scene, mk, cfg.width, cfg.height, cfg.spp
+        )
+        if process_index == 0:
+            _write_outputs(film, cfg.out)
+            log.info("wrote %s (total %.1fs)", cfg.out, timer.total)
+        return 0
 
     film = render(
         scene, cfg.width, cfg.height, cfg.spp,

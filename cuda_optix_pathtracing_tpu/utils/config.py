@@ -24,6 +24,10 @@ class RunConfig:
     log_level: str = "info"
     mesh: int = 0  # shard over N devices (0 = all available)
     checkpoint: str = ""  # resume/persist film state (.npz)
+    # multi-host (one process per host, jax.distributed):
+    coordinator: str = ""  # "host:port" of process 0 ("" = single-process)
+    num_processes: int = 0  # total processes (0 = auto/env)
+    process_id: int = -1  # this process's rank (-1 = auto/env)
 
 
 def parse_args(argv=None) -> RunConfig:
@@ -50,10 +54,17 @@ def parse_args(argv=None) -> RunConfig:
                    help="shard pixels over N devices (0 = all)")
     p.add_argument("--checkpoint", default=d.checkpoint,
                    help="film checkpoint .npz to resume from / save to")
+    p.add_argument("--coordinator", default=d.coordinator,
+                   help="multi-host: host:port of process 0")
+    p.add_argument("--num-processes", type=int, default=d.num_processes,
+                   help="multi-host: total number of processes")
+    p.add_argument("--process-id", type=int, default=d.process_id,
+                   help="multi-host: this process's rank")
     a = p.parse_args(argv)
     return RunConfig(
         scene=a.scene, out=a.out, width=a.width, height=a.height, spp=a.spp,
         kspp=a.kspp, max_depth=a.max_depth, sampler=a.sampler, seed=a.seed,
         device=a.device, save_partial=a.save_partial, log_level=a.log_level,
-        mesh=a.mesh, checkpoint=a.checkpoint,
+        mesh=a.mesh, checkpoint=a.checkpoint, coordinator=a.coordinator,
+        num_processes=a.num_processes, process_id=a.process_id,
     )

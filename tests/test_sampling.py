@@ -69,3 +69,31 @@ def test_map_to_sphere_range(rng):
     u, v = S.map_to_sphere(d)
     u, v = np.asarray(u), np.asarray(v)
     assert (u >= 0).all() and (u <= 1).all() and (v >= 0).all() and (v <= 1).all()
+
+
+def test_disk_azimuth_uniform(rng):
+    """Concentric-disk azimuth must be uniform — regression for the
+    Shirley–Chiu second-branch bug (φ = 3π/4·ratio instead of
+    π/2 − π/4·ratio) that folded azimuth density 2:1 by quadrant."""
+    from scipy import stats
+
+    u1, u2 = _uniforms(1 << 16, rng)
+    x, y = S.sample_uniform_disk(u1, u2)
+    phi = np.arctan2(np.asarray(y), np.asarray(x))
+    counts, _ = np.histogram(phi, bins=16, range=(-np.pi, np.pi))
+    expected = len(phi) / 16
+    chi2 = ((counts - expected) ** 2 / expected).sum()
+    assert chi2 < stats.chi2.ppf(0.999, 15), (chi2, counts / expected)
+
+
+def test_cos_hemisphere_azimuth_uniform(rng):
+    from scipy import stats
+
+    n = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (1 << 16, 1))
+    u1, u2 = _uniforms(1 << 16, rng)
+    d, _ = S.sample_cos_hemisphere(n, u1, u2)
+    phi = np.arctan2(np.asarray(d)[:, 1], np.asarray(d)[:, 0])
+    counts, _ = np.histogram(phi, bins=16, range=(-np.pi, np.pi))
+    expected = len(phi) / 16
+    chi2 = ((counts - expected) ** 2 / expected).sum()
+    assert chi2 < stats.chi2.ppf(0.999, 15), (chi2, counts / expected)
