@@ -228,18 +228,57 @@ def build_bvh(v0, e0, e1) -> BVHArrays:
 
 
 class PackedBVH(NamedTuple):
-    """Device-ready BVH: 8-padded leaf-major triangle order.
+    """Device-ready BVH: 8-padded leaf-major triangle order, with the
+    node table replicated per direction OCTANT.
 
-    Every leaf owns exactly 8 consecutive rows of the (re-ordered,
-    degenerate-padded) triangle arrays, so the traversal kernel intersects
-    fixed blocks with no count masking (pads have zero edges → det 0 →
-    rejected by the MT tolerance test).
+    Every leaf owns exactly LEAF_SIZE consecutive rows of the
+    (re-ordered, degenerate-padded) triangle arrays, so the traversal
+    kernel intersects fixed blocks with no count masking (pads have zero
+    edges → det 0 → rejected by the MT tolerance test).
+
+    The leading axis 8 of lo/hi/meta is the ray-direction octant (bit k
+    set = component k negative): bank ``o`` stores each node's children
+    sorted by centroid·sign(dir) DESCENDING, i.e. far-to-near for rays
+    of that octant. The kernel pushes children in storage order onto the
+    shared stack, so pops are near-first and per-ray ``t_best`` prunes
+    the far subtrees — the TPU packet analogue of the reference's
+    per-ray near-child-first descent (core-bvh-builder.cpp:770-1008).
+    Ray tiles are octant-sorted (ops/raysort.py), so one scalar bank
+    select per tile suffices. Memory cost: 8× the node table, which is
+    ~0.9 KB/node — ≪ the triangle data it accelerates.
     """
 
-    lo: jnp.ndarray  # (M, 8, 3)
-    hi: jnp.ndarray  # (M, 8, 3)
-    meta: jnp.ndarray  # (M, 8, 2) i32: [child node | leaf row base, count code]
+    lo: jnp.ndarray  # (8, M, 8, 3)
+    hi: jnp.ndarray  # (8, M, 8, 3)
+    meta: jnp.ndarray  # (8, M, 8, 2) i32: [child node | leaf row base, count]
     perm: jnp.ndarray  # (Tp,) i32 padded row → original tri index (-1 = pad)
+
+
+def _octant_banks(lo, hi, meta):
+    """Children-permuted per-octant node banks (see PackedBVH)."""
+    with np.errstate(invalid="ignore"):
+        cent = (lo + hi) * 0.5  # (M, 8, 3); empty children → ±inf/nan
+    cent = np.nan_to_num(cent, nan=0.0, posinf=0.0, neginf=0.0)
+    m = lo.shape[0]
+    lo8 = np.empty((8,) + lo.shape, np.float32)
+    hi8 = np.empty((8,) + hi.shape, np.float32)
+    meta8 = np.empty((8,) + meta.shape, np.int32)
+    rows = np.arange(m)[:, None]
+    for oct_ in range(8):
+        sign = np.asarray(
+            [
+                -1.0 if (oct_ >> 0) & 1 else 1.0,
+                -1.0 if (oct_ >> 1) & 1 else 1.0,
+                -1.0 if (oct_ >> 2) & 1 else 1.0,
+            ],
+            np.float32,
+        )
+        key = cent @ sign  # (M, 8) centroid distance along the octant dir
+        order = np.argsort(-key, axis=1, kind="stable")  # far-to-near
+        lo8[oct_] = lo[rows, order]
+        hi8[oct_] = hi[rows, order]
+        meta8[oct_] = meta[rows, order]
+    return lo8, hi8, meta8
 
 
 def pack_bvh(bvh: BVHArrays) -> PackedBVH:
@@ -266,8 +305,12 @@ def pack_bvh(bvh: BVHArrays) -> PackedBVH:
 
     first = np.where(lc > 0, new_start, cn).astype(np.int32)
     meta = np.stack([first, lc], axis=-1)
+    lo8, hi8, meta8 = _octant_banks(
+        np.asarray(bvh.child_lo), np.asarray(bvh.child_hi), meta
+    )
     return PackedBVH(
-        bvh.child_lo, bvh.child_hi, jnp.asarray(meta), jnp.asarray(perm)
+        jnp.asarray(lo8), jnp.asarray(hi8), jnp.asarray(meta8),
+        jnp.asarray(perm),
     )
 
 

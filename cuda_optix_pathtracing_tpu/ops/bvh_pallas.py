@@ -36,7 +36,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .bvh import LEAF_SIZE, BVHArrays
+from .bvh import LEAF_SIZE
 from .intersect import BIG_T, MT_TOLERANCE, T_MIN, ClosestHit, closest_epilogue
 
 LANES = 128
@@ -93,8 +93,20 @@ def _traverse_kernel(
     out_i[...] = jnp.zeros((BLOCK_ROWS, LANES), jnp.int32)
     stack[0] = 0
 
+    # Tile direction octant selects the node bank whose children are
+    # stored far-to-near for this octant (ops/bvh.py _octant_banks) —
+    # pushes in storage order then pop near-first, so per-ray t_best
+    # (closest) / found-occluder state (anyhit) prunes far subtrees.
+    # Tiles are octant-sorted, so the majority sign is exact for all but
+    # boundary tiles — and for those it is merely a weaker ordering.
+    oct = (
+        (jnp.sum(dx[...]) < 0.0).astype(jnp.int32)
+        + 2 * (jnp.sum(dy[...]) < 0.0).astype(jnp.int32)
+        + 4 * (jnp.sum(dz[...]) < 0.0).astype(jnp.int32)
+    )
+
     def body(carry):
-        ptr = carry
+        ptr, _ = carry
         entry = stack[ptr - 1]
         ptr = ptr - 1
         is_leaf = entry < 0
@@ -135,27 +147,36 @@ def _traverse_kernel(
                         )[0]
 
         new_ptr = _process_node(
-            anyhit, entry, ptr, ox, oy, oz, dx, dy, dz, tmax,
+            anyhit, oct, entry, ptr, ox, oy, oz, dx, dy, dz, tmax,
             lo, hi, meta, out_t, out_i, stack, flags, tiny,
         )
-        return jnp.where(is_leaf, ptr, new_ptr)
+        ptr = jnp.where(is_leaf, ptr, new_ptr)
+        if anyhit:
+            # whole-tile early exit once every ray has found an occluder
+            done = jnp.all(out_i[...] > 0)
+        else:
+            done = jnp.bool_(False)
+        return ptr, done
 
-    lax.while_loop(lambda p: p > 0, body, jnp.int32(1))
+    lax.while_loop(
+        lambda c: (c[0] > 0) & ~c[1], body, (jnp.int32(1), jnp.bool_(False))
+    )
 
 
 def _process_node(
-    anyhit, entry, ptr, ox, oy, oz, dx, dy, dz, tmax,
+    anyhit, oct, entry, ptr, ox, oy, oz, dx, dy, dz, tmax,
     lo, hi, meta, out_t, out_i, stack, flags, tiny,
 ):
     """Slab-test the 8 children of node ``entry`` against the tile and
-    push survivors (branchlessly). Runs predicated on ``entry >= 0``;
-    returns the updated stack pointer (caller selects)."""
+    push survivors (branchlessly) in far-to-near storage order. Runs
+    predicated on ``entry >= 0``; returns the updated stack pointer
+    (caller selects)."""
     node = jnp.maximum(entry, 0)
 
     @pl.when(entry >= 0)
     def _():
-        blo = lo[node]  # (8, 3): children in sublanes, dims in lanes
-        bhi = hi[node]
+        blo = lo[oct, node]  # (8, 3): children in sublanes, dims in lanes
+        bhi = hi[oct, node]
         lox, loy, loz = blo[:, 0:1], blo[:, 1:2], blo[:, 2:3]
         hix, hiy, hiz = bhi[:, 0:1], bhi[:, 1:2], bhi[:, 2:3]
 
@@ -198,8 +219,8 @@ def _process_node(
     # branchless pushes: always store, conditionally advance the pointer
     new_ptr = ptr
     for ch in range(8):
-        cnt = meta[node, ch, 1]
-        base = meta[node, ch, 0]
+        cnt = meta[oct, node, ch, 1]
+        base = meta[oct, node, ch, 0]
         wanted = (flags[ch, 0] > 0) & (entry >= 0) & (cnt >= 0)
         enc = jnp.where(cnt > 0, -base - 1, base)
         stack[new_ptr] = enc
@@ -249,14 +270,6 @@ def _call(anyhit, planes, bvh_lo, bvh_hi, bvh_meta, tri_rows, rows, interpret=Fa
         ],
         interpret=interpret,
     )(*planes, bvh_lo, bvh_hi, bvh_meta, tri_rows)
-
-
-def bvh_meta_pack(bvh: BVHArrays):
-    """(M,8,2) i32: [,0]=child node index / leaf row base, [,1]=count code."""
-    first = jnp.where(
-        bvh.child_leaf_count > 0, bvh.child_leaf_start, bvh.child_node
-    )
-    return jnp.stack([first, bvh.child_leaf_count], axis=-1)
 
 
 def tri_rows_pack(v0, e0, e1):
