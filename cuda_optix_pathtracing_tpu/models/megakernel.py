@@ -136,8 +136,7 @@ def _closest(scene: Scene, cfg, o, d, alive=None):
                 t, i = sorted_apply(
                     o, d, key,
                     lambda so, sd: bvh_closest_raw(
-                        so, sd, scene.bvh.lo, scene.bvh.hi, scene.bvh.meta,
-                        tri_rows,
+                        so, sd, scene.bvh.box, scene.bvh.meta, tri_rows,
                     ),
                     2,
                 )
@@ -146,7 +145,7 @@ def _closest(scene: Scene, cfg, o, d, alive=None):
                 )
             return bvh_closest_pallas(
                 o, d, scene.tri_v0, scene.tri_e0, scene.tri_e1,
-                scene.bvh.lo, scene.bvh.hi, scene.bvh.meta, tri_rows,
+                scene.bvh.box, scene.bvh.meta, tri_rows,
             )
         return intersect_closest_pallas(
             o, d, scene.tri_v0, scene.tri_e0, scene.tri_e1
@@ -171,14 +170,12 @@ def _any(scene: Scene, cfg, o, d, t_max, alive=None):
                 occ = sorted_apply_tmax(
                     o, d, t_max_arr, key,
                     lambda so, sd, st: bvh_any_raw(
-                        so, sd, scene.bvh.lo, scene.bvh.hi, scene.bvh.meta,
-                        tri_rows, st,
+                        so, sd, scene.bvh.box, scene.bvh.meta, tri_rows, st,
                     ),
                 )
                 return occ > 0
             return bvh_any_pallas(
-                o, d, scene.bvh.lo, scene.bvh.hi, scene.bvh.meta, tri_rows,
-                t_max,
+                o, d, scene.bvh.box, scene.bvh.meta, tri_rows, t_max,
             )
         return intersect_any_pallas(
             o, d, scene.tri_v0, scene.tri_e0, scene.tri_e1, t_max
@@ -582,144 +579,143 @@ def bounce_step(scene: Scene, cfg, sampler, px, py, sample, depth, state: PathSt
     ``depth`` may be a Python int (megakernel) or a traced scalar
     (wavefront; hash sampler only)."""
     n = state.o.shape[0]
-    if True:  # (kept at original indentation)
-        depth_dim = depth * R.DIMS_PER_BOUNCE
-        hit = _closest(scene, cfg, state.o, state.d, alive=state.alive)
+    depth_dim = depth * R.DIMS_PER_BOUNCE
+    hit = _closest(scene, cfg, state.o, state.d, alive=state.alive)
 
-        # miss → environment, path dies (megakernel.cu:135-151). When the
-        # env is also NEE-sampled, MIS-weight against the previous bounce's
-        # bsdf pdf; pure-delta prefixes keep full weight.
-        miss = state.alive & ~hit.hit
-        le_env, pdf_env_of_d = eval_envmap(scene.env, state.d)
-        if cfg.env_nee:
-            w_env = jnp.where(
-                state.prev_delta,
-                1.0,
-                sqr(state.prev_pdf)
-                / jnp.maximum(sqr(state.prev_pdf) + sqr(pdf_env_of_d), 1e-24),
+    # miss → environment, path dies (megakernel.cu:135-151). When the
+    # env is also NEE-sampled, MIS-weight against the previous bounce's
+    # bsdf pdf; pure-delta prefixes keep full weight.
+    miss = state.alive & ~hit.hit
+    le_env, pdf_env_of_d = eval_envmap(scene.env, state.d)
+    if cfg.env_nee:
+        w_env = jnp.where(
+            state.prev_delta,
+            1.0,
+            sqr(state.prev_pdf)
+            / jnp.maximum(sqr(state.prev_pdf) + sqr(pdf_env_of_d), 1e-24),
+        )
+    else:
+        w_env = jnp.ones((n,), jnp.float32)
+    radiance = state.radiance + jnp.where(
+        miss[..., None], state.beta * le_env * w_env[..., None], 0.0
+    )
+    alive = state.alive & hit.hit
+
+    wo = -state.d
+    # one material fetch per bounce (one-hot MXU gathers, ops/gather.py),
+    # shared by NEE evaluation and the bounce sample; ray-cone width at
+    # the hit drives the texture mip selection
+    cone_at_hit = state.cone_w + state.cone_s * jnp.abs(hit.t)
+    mat = scene.materials.gather(onehot_gather(scene.tri_mat, hit.tri))
+    mat = _textured_mat(scene, mat, hit, cone_at_hit)
+    ns = _shading_normal(scene, hit)
+
+    use_tree = _tree_on(cfg, scene)
+    if scene.emissive is not None:
+        # directly-hit emitter: MIS-weighted against the NEE estimator
+        # (weight 1 after delta bounces / the camera)
+        cos_l = jnp.abs(jnp.sum(state.d * hit.normal, axis=-1))
+        if use_tree and scene.tri_emrec is not None:
+            # NEE density for hitting THIS triangle = tree selection
+            # pmf from the previous shading point × its area pdf
+            levels, _ = split_frontier(scene.light_tree, cfg.nee_splits)
+            rec_hit = onehot_gather(scene.tri_emrec, hit.tri)
+            pmf_sel = light_tree_pmf(
+                scene.light_tree, jnp.maximum(rec_hit, 0),
+                state.o, state.prev_n, split_levels=levels,
+            )
+            te0 = onehot_gather(scene.tri_e0, hit.tri)
+            te1 = onehot_gather(scene.tri_e1, hit.tri)
+            area_tri = 0.5 * length(cross(te0, te1))
+            pdf_hit = (
+                sqr(hit.t)
+                / jnp.maximum(cos_l * area_tri, 1e-12)
+                * pmf_sel
             )
         else:
-            w_env = jnp.ones((n,), jnp.float32)
-        radiance = state.radiance + jnp.where(
-            miss[..., None], state.beta * le_env * w_env[..., None], 0.0
+            pmf_area = 1.0 / scene.num_lights
+            pdf_hit = (
+                sqr(hit.t)
+                / jnp.maximum(cos_l * scene.emissive.area, 1e-12)
+                * pmf_area
+            )
+        w_em = jnp.where(
+            state.prev_delta,
+            1.0,
+            sqr(state.prev_pdf)
+            / jnp.maximum(sqr(state.prev_pdf) + sqr(pdf_hit), 1e-24),
         )
-        alive = state.alive & hit.hit
-
-        wo = -state.d
-        # one material fetch per bounce (one-hot MXU gathers, ops/gather.py),
-        # shared by NEE evaluation and the bounce sample; ray-cone width at
-        # the hit drives the texture mip selection
-        cone_at_hit = state.cone_w + state.cone_s * jnp.abs(hit.t)
-        mat = scene.materials.gather(onehot_gather(scene.tri_mat, hit.tri))
-        mat = _textured_mat(scene, mat, hit, cone_at_hit)
-        ns = _shading_normal(scene, hit)
-
-        use_tree = _tree_on(cfg, scene)
-        if scene.emissive is not None:
-            # directly-hit emitter: MIS-weighted against the NEE estimator
-            # (weight 1 after delta bounces / the camera)
-            cos_l = jnp.abs(jnp.sum(state.d * hit.normal, axis=-1))
-            if use_tree and scene.tri_emrec is not None:
-                # NEE density for hitting THIS triangle = tree selection
-                # pmf from the previous shading point × its area pdf
-                levels, _ = split_frontier(scene.light_tree, cfg.nee_splits)
-                rec_hit = onehot_gather(scene.tri_emrec, hit.tri)
-                pmf_sel = light_tree_pmf(
-                    scene.light_tree, jnp.maximum(rec_hit, 0),
-                    state.o, state.prev_n, split_levels=levels,
-                )
-                te0 = onehot_gather(scene.tri_e0, hit.tri)
-                te1 = onehot_gather(scene.tri_e1, hit.tri)
-                area_tri = 0.5 * length(cross(te0, te1))
-                pdf_hit = (
-                    sqr(hit.t)
-                    / jnp.maximum(cos_l * area_tri, 1e-12)
-                    * pmf_sel
-                )
-            else:
-                pmf_area = 1.0 / scene.num_lights
-                pdf_hit = (
-                    sqr(hit.t)
-                    / jnp.maximum(cos_l * scene.emissive.area, 1e-12)
-                    * pmf_area
-                )
-            w_em = jnp.where(
-                state.prev_delta,
-                1.0,
-                sqr(state.prev_pdf)
-                / jnp.maximum(sqr(state.prev_pdf) + sqr(pdf_hit), 1e-24),
-            )
-            emit_ok = alive  # two-sided emission (Cycles mesh emitters)
-            radiance = radiance + jnp.where(
-                emit_ok[..., None],
-                state.beta * mat.emission * w_em[..., None],
-                0.0,
-            )
-        nee_fn = _nee_tree if use_tree else _nee
-        nee = nee_fn(
+        emit_ok = alive  # two-sided emission (Cycles mesh emitters)
+        radiance = radiance + jnp.where(
+            emit_ok[..., None],
+            state.beta * mat.emission * w_em[..., None],
+            0.0,
+        )
+    nee_fn = _nee_tree if use_tree else _nee
+    nee = nee_fn(
+        scene, cfg, sampler, px, py, sample, depth_dim, hit, mat, wo,
+        state.inside, alive=alive, ns=ns,
+    )
+    if cfg.env_nee:
+        nee = nee + _nee_env(
             scene, cfg, sampler, px, py, sample, depth_dim, hit, mat, wo,
             state.inside, alive=alive, ns=ns,
         )
-        if cfg.env_nee:
-            nee = nee + _nee_env(
-                scene, cfg, sampler, px, py, sample, depth_dim, hit, mat, wo,
-                state.inside, alive=alive, ns=ns,
-            )
-        radiance = radiance + jnp.where(
-            alive[..., None], state.beta * nee, 0.0
-        )
+    radiance = radiance + jnp.where(
+        alive[..., None], state.beta * nee, 0.0
+    )
 
-        # bounce
-        u1, u2 = sampler.sample_2d(px, py, sample, depth_dim + R.Dim.BSDF_U)
-        uc = sampler.sample_1d(px, py, sample, depth_dim + R.Dim.BSDF_UC)
-        bs = sample_bsdf(
-            mat, wo, ns, hit.normal, u1, u2, uc, state.inside,
-            ft=cfg.features,
-        )
+    # bounce
+    u1, u2 = sampler.sample_2d(px, py, sample, depth_dim + R.Dim.BSDF_U)
+    uc = sampler.sample_1d(px, py, sample, depth_dim + R.Dim.BSDF_UC)
+    bs = sample_bsdf(
+        mat, wo, ns, hit.normal, u1, u2, uc, state.inside,
+        ft=cfg.features,
+    )
 
-        valid = bs.pdf > 0.0
-        beta = state.beta * jnp.where(
-            valid[..., None], bs.f_cos / jnp.maximum(bs.pdf, 1e-12)[..., None], 1.0
-        )
-        alive = alive & valid
-        o_new = offset_ray_origin(hit.pos, hit.error, hit.normal, bs.wi)
-        inside = state.inside ^ (bs.refract & alive)
-        eta_scale = jnp.where(
-            bs.refract & alive, state.eta_scale * sqr(bs.eta), state.eta_scale
-        )
+    valid = bs.pdf > 0.0
+    beta = state.beta * jnp.where(
+        valid[..., None], bs.f_cos / jnp.maximum(bs.pdf, 1e-12)[..., None], 1.0
+    )
+    alive = alive & valid
+    o_new = offset_ray_origin(hit.pos, hit.error, hit.normal, bs.wi)
+    inside = state.inside ^ (bs.refract & alive)
+    eta_scale = jnp.where(
+        bs.refract & alive, state.eta_scale * sqr(bs.eta), state.eta_scale
+    )
 
-        # russian roulette on β·∏η² after rr_start_depth (megakernel.cu:283-295)
-        rr_beta = max_component(beta) * eta_scale
-        u_rr = sampler.sample_1d(px, py, sample, depth_dim + R.Dim.RR)
-        q = jnp.maximum(0.0, 1.0 - rr_beta)
-        do_rr = (rr_beta < 1.0) & (depth >= cfg.rr_start_depth)
-        killed = do_rr & (u_rr < q)
-        survived_scale = jnp.where(do_rr & ~killed, 1.0 / jnp.maximum(1.0 - q, 1e-6), 1.0)
-        beta = beta * survived_scale[..., None]
-        alive = alive & ~killed
+    # russian roulette on β·∏η² after rr_start_depth (megakernel.cu:283-295)
+    rr_beta = max_component(beta) * eta_scale
+    u_rr = sampler.sample_1d(px, py, sample, depth_dim + R.Dim.RR)
+    q = jnp.maximum(0.0, 1.0 - rr_beta)
+    do_rr = (rr_beta < 1.0) & (depth >= cfg.rr_start_depth)
+    killed = do_rr & (u_rr < q)
+    survived_scale = jnp.where(do_rr & ~killed, 1.0 / jnp.maximum(1.0 - q, 1e-6), 1.0)
+    beta = beta * survived_scale[..., None]
+    alive = alive & ~killed
 
-        # ray-cone propagation: width grows by spread·distance; the first
-        # non-specular bounce widens the spread to the diffuse cone
-        cone_s = jnp.where(
-            alive & ~bs.delta,
-            jnp.maximum(state.cone_s, DIFFUSE_CONE_SPREAD),
-            state.cone_s,
-        )
+    # ray-cone propagation: width grows by spread·distance; the first
+    # non-specular bounce widens the spread to the diffuse cone
+    cone_s = jnp.where(
+        alive & ~bs.delta,
+        jnp.maximum(state.cone_s, DIFFUSE_CONE_SPREAD),
+        state.cone_s,
+    )
 
-        return PathState(
-            o=jnp.where(alive[..., None], o_new, state.o),
-            d=jnp.where(alive[..., None], bs.wi, state.d),
-            beta=jnp.where(alive[..., None], beta, state.beta),
-            radiance=radiance,
-            alive=alive,
-            inside=inside,
-            eta_scale=eta_scale,
-            prev_pdf=jnp.where(alive, bs.pdf, state.prev_pdf),
-            prev_delta=jnp.where(alive, bs.delta, state.prev_delta),
-            prev_n=jnp.where(alive[..., None], ns, state.prev_n),
-            cone_w=jnp.where(alive, cone_at_hit, state.cone_w),
-            cone_s=cone_s,
-        )
+    return PathState(
+        o=jnp.where(alive[..., None], o_new, state.o),
+        d=jnp.where(alive[..., None], bs.wi, state.d),
+        beta=jnp.where(alive[..., None], beta, state.beta),
+        radiance=radiance,
+        alive=alive,
+        inside=inside,
+        eta_scale=eta_scale,
+        prev_pdf=jnp.where(alive, bs.pdf, state.prev_pdf),
+        prev_delta=jnp.where(alive, bs.delta, state.prev_delta),
+        prev_n=jnp.where(alive[..., None], ns, state.prev_n),
+        cone_w=jnp.where(alive, cone_at_hit, state.cone_w),
+        cone_s=cone_s,
+    )
 
 
 def render_sample_batch(scene: Scene, cfg: MegakernelConfig, width, height, sample, nspp: int = 1):

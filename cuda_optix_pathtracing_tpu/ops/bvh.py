@@ -160,11 +160,10 @@ def build_bvh(v0, e0, e1) -> BVHArrays:
         np.asarray(e1, np.float32), LEAF_SIZE, N_BINS,
     )
     if nat is not None:
+        # keep numpy: the consumer is host-side pack_bvh, and np.asarray
+        # on a (tunneled) device array costs a full D2H transfer
         lo, hi, cn, ls, lc, order = nat
-        return BVHArrays(
-            jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(cn),
-            jnp.asarray(ls), jnp.asarray(lc), jnp.asarray(order),
-        )
+        return BVHArrays(lo, hi, cn, ls, lc, order)
     v0 = np.asarray(v0, np.float32)
     p1 = v0 + np.asarray(e0, np.float32)
     p2 = v0 + np.asarray(e1, np.float32)
@@ -218,52 +217,64 @@ def build_bvh(v0, e0, e1) -> BVHArrays:
     child_leaf_start = np.stack([n[3] for n in nodes])
     child_leaf_count = np.stack([n[4] for n in nodes])
     return BVHArrays(
-        jnp.asarray(child_lo),
-        jnp.asarray(child_hi),
-        jnp.asarray(child_node),
-        jnp.asarray(child_leaf_start),
-        jnp.asarray(child_leaf_count),
-        jnp.asarray(out_order.astype(np.int32)),
+        child_lo,
+        child_hi,
+        child_node,
+        child_leaf_start,
+        child_leaf_count,
+        out_order.astype(np.int32),
     )
 
 
 class PackedBVH(NamedTuple):
-    """Device-ready BVH: 8-padded leaf-major triangle order, with the
-    node table replicated per direction OCTANT.
+    """Device-ready BVH: 8-padded leaf-major triangle order + dense
+    node tables (see ops/bvh_pallas.py module docstring for the kernel
+    -side rationale and measured Mosaic layout rules).
 
     Every leaf owns exactly LEAF_SIZE consecutive rows of the
     (re-ordered, degenerate-padded) triangle arrays, so the traversal
     kernel intersects fixed blocks with no count masking (pads have zero
     edges → det 0 → rejected by the MT tolerance test).
 
-    The leading axis 8 of lo/hi/meta is the ray-direction octant (bit k
-    set = component k negative): bank ``o`` stores each node's children
-    sorted by centroid·sign(dir) DESCENDING, i.e. far-to-near for rays
-    of that octant. The kernel pushes children in storage order onto the
-    shared stack, so pops are near-first and per-ray ``t_best`` prunes
-    the far subtrees — the TPU packet analogue of the reference's
-    per-ray near-child-first descent (core-bvh-builder.cpp:770-1008).
-    Ray tiles are octant-sorted (ops/raysort.py), so one scalar bank
-    select per tile suffices. Memory cost: 8× the node table, which is
-    ~0.9 KB/node — ≪ the triangle data it accelerates.
+    - ``box`` (M, 128) f32: per node, the 8 child slabs comp-major
+      ``[lox×8|loy×8|loz×8|hix×8|hiy×8|hiz×8]`` (48 lanes used; empty
+      children zeroed — they are excluded by their slotword, not their
+      slab). 512 B/node in VMEM.
+    - ``meta`` (M·16,) i32 for SMEM: per node, 8 slotwords
+      ``(payload << 6) | code`` (code 0 empty / 1 internal / 2 leaf;
+      payload = child node row or triangle-block row) followed by 8
+      per-octant permcodes: 8×3-bit far-to-near child visit order for
+      rays of that direction octant — the de-replicated form of the
+      reference's 8 precomputed traversal orders per cluster
+      (buildPermutationsBoxproj, core-bvh-builder.cpp:500-546). The
+      kernel pushes children in permcode order so pops are near-first
+      and per-ray ``t_best`` prunes far subtrees. 64 B/node.
+    - ``perm`` (Tp,) i32: padded packed row → original tri (-1 = pad).
     """
 
-    lo: jnp.ndarray  # (8, M, 8, 3)
-    hi: jnp.ndarray  # (8, M, 8, 3)
-    meta: jnp.ndarray  # (8, M, 8, 2) i32: [child node | leaf row base, count]
-    perm: jnp.ndarray  # (Tp,) i32 padded row → original tri index (-1 = pad)
+    box: jnp.ndarray  # (M, 128) f32
+    meta: jnp.ndarray  # (M*16,) i32
+    perm: np.ndarray  # (Tp,) i32 HOST array: padded row → original tri
+    # (-1 = pad). Kept numpy on purpose — it is only ever consumed by
+    # host-side permutes (permute_tri_array), and np.asarray on a
+    # (tunneled) device array costs a blocking D2H round-trip.
+
+    @property
+    def num_nodes(self):
+        return self.box.shape[0]
 
 
-def _octant_banks(lo, hi, meta):
-    """Children-permuted per-octant node banks (see PackedBVH)."""
-    with np.errstate(invalid="ignore"):
-        cent = (lo + hi) * 0.5  # (M, 8, 3); empty children → ±inf/nan
-    cent = np.nan_to_num(cent, nan=0.0, posinf=0.0, neginf=0.0)
+CODE_EMPTY = 0
+CODE_INTERNAL = 1
+CODE_LEAF = 2
+
+
+def _permcodes(lo, hi, valid):
+    """(M, 8) u32 per-octant permcodes: child visit order far-to-near
+    along each octant direction, packed 3 bits per slot."""
+    cent = np.where(valid[..., None], (lo + hi) * 0.5, 0.0)  # (M, 8, 3)
     m = lo.shape[0]
-    lo8 = np.empty((8,) + lo.shape, np.float32)
-    hi8 = np.empty((8,) + hi.shape, np.float32)
-    meta8 = np.empty((8,) + meta.shape, np.int32)
-    rows = np.arange(m)[:, None]
+    codes = np.zeros((m, 8), np.int64)
     for oct_ in range(8):
         sign = np.asarray(
             [
@@ -275,18 +286,26 @@ def _octant_banks(lo, hi, meta):
         )
         key = cent @ sign  # (M, 8) centroid distance along the octant dir
         order = np.argsort(-key, axis=1, kind="stable")  # far-to-near
-        lo8[oct_] = lo[rows, order]
-        hi8[oct_] = hi[rows, order]
-        meta8[oct_] = meta[rows, order]
-    return lo8, hi8, meta8
+        code = np.zeros(m, np.int64)
+        for k in range(8):
+            code |= order[:, k] << (3 * k)
+        codes[:, oct_] = code
+    return codes.astype(np.int32)
 
 
 def pack_bvh(bvh: BVHArrays) -> PackedBVH:
-    """Re-base leaves onto 8-padded blocks and pack child metadata."""
+    """Re-base leaves onto LEAF_SIZE-padded blocks and pack the dense
+    node tables (box rows + slotword/permcode meta)."""
     ls = np.asarray(bvh.child_leaf_start)
     lc = np.asarray(bvh.child_leaf_count)
     cn = np.asarray(bvh.child_node)
     order = np.asarray(bvh.tri_order)
+    lo = np.nan_to_num(
+        np.asarray(bvh.child_lo), nan=0.0, posinf=0.0, neginf=0.0
+    )
+    hi = np.nan_to_num(
+        np.asarray(bvh.child_hi), nan=0.0, posinf=0.0, neginf=0.0
+    )
 
     leaf_pos = np.argwhere(lc > 0)  # (L, 2) rows of (node, child)
     perm = np.full(len(leaf_pos) * LEAF_SIZE, -1, np.int32)
@@ -303,15 +322,29 @@ def pack_bvh(bvh: BVHArrays) -> PackedBVH:
         np.repeat(ls[ni, ci].astype(np.int64), cnt) + within
     ]
 
-    first = np.where(lc > 0, new_start, cn).astype(np.int32)
-    meta = np.stack([first, lc], axis=-1)
-    lo8, hi8, meta8 = _octant_banks(
-        np.asarray(bvh.child_lo), np.asarray(bvh.child_hi), meta
-    )
-    return PackedBVH(
-        jnp.asarray(lo8), jnp.asarray(hi8), jnp.asarray(meta8),
-        jnp.asarray(perm),
-    )
+    m = lo.shape[0]
+    valid = lc >= 0
+    # box rows: comp-major child slabs (empty children zeroed)
+    box = np.zeros((m, 128), np.float32)
+    for k in range(3):
+        box[:, 8 * k : 8 * (k + 1)] = np.where(valid, lo[:, :, k], 0.0)
+        box[:, 24 + 8 * k : 24 + 8 * (k + 1)] = np.where(
+            valid, hi[:, :, k], 0.0
+        )
+
+    # slotwords: (payload << 6) | code
+    is_leaf = lc > 0
+    block_base = new_start // 8  # triangle *block* row (LEAF_SIZE | 8)
+    payload = np.where(is_leaf, block_base, cn).astype(np.int64)
+    code = np.where(
+        ~valid, CODE_EMPTY, np.where(is_leaf, CODE_LEAF, CODE_INTERNAL)
+    ).astype(np.int64)
+    slotwords = ((payload << 6) | code).astype(np.int32)  # (M, 8)
+
+    meta = np.zeros((m, 16), np.int32)
+    meta[:, 0:8] = slotwords
+    meta[:, 8:16] = _permcodes(lo, hi, valid)
+    return PackedBVH(jnp.asarray(box), jnp.asarray(meta.reshape(-1)), perm)
 
 
 def permute_tri_array(arr, perm, pad_value=0):

@@ -3,27 +3,44 @@
 TPU re-imagination of the reference's AVX2 per-ray stack traversal
 (core-bvh-builder.cpp:770-1008): one **ray tile** of (BLOCK_ROWS × 128)
 rays shares a single scalar traversal stack (SMEM); each popped node's 8
-child slabs are tested against the whole tile as vector ops; a child is
-descended if *any* ray in the tile wants it. Leaves are fixed blocks of
-LEAF_SIZE triangles (padded with degenerate triangles at build time).
+child slabs are tested against the whole tile; a child is descended if
+*any* ray in the tile wants it. Leaves are fixed blocks of LEAF_SIZE
+triangles (padded with degenerate triangles at build time).
 
-Vector layout ("children/triangles in sublanes, rays in lanes"): a
-popped node's 8 child AABBs load as ONE (8, 3) vector each for lo/hi;
-the slab test runs as (8, 128) ops — 8 children × 128 rays per row-group
-— with no per-child scalar loads. Leaf blocks intersect 8 triangles ×
-128 rays the same way, a sublane min-reduce picking the per-ray winner.
+Layout (v2 — dense, VMEM/SMEM-frugal; replaces the r3 whole-table
+(8-octant-replicated, lane-padded) design that VMEM-OOM'd at 8.3k tris):
 
-Scalar branches cost ~190 ns each on TPU (pipeline flush), so the hot
-loop is branch-minimal: pushes are branchless (always store the child
-encoding at stack[ptr], conditionally advance ptr), and leaves are
-pushed onto the SAME stack as negative entries, so each while iteration
-takes exactly two predicated regions (leaf body / node body) instead of
-per-child conditionals — measured 3× faster than the per-child-branch
-version on coherent tiles.
+- ``nodebox``  (M, 128) f32 VMEM — one row per node: the 8 children's
+  slabs comp-major ``[lox×8 | loy×8 | loz×8 | hix×8 | hiy×8 | hiz×8]``
+  (48 lanes used). 512 B/node, zero lane-padding waste.
+- ``nodemeta`` (M·16,) i32 SMEM — per node: 8 slotwords (physical child
+  order) ``(payload << 6) | code`` with code 0=empty / 1=internal
+  (payload = child node row) / 2=leaf (payload = triangle *block* row),
+  then 8 per-octant permcodes packing the far-to-near child visit order
+  as 8×3 bits. 64 B/node. This is the de-replicated form of the
+  reference's 8 precomputed traversal orders per cluster
+  (buildPermutationsBoxproj, core-bvh-builder.cpp:500-546).
+- ``tri``      (B, 128) f32 VMEM — 8 triangles per row comp-major
+  ``[v0x×8|v0y×8|v0z×8|e0x×8|e0y×8|e0z×8|e1x×8|e1y×8|e1z×8]``
+  (72 lanes used). 64 B/triangle.
 
-Coherent tiles (camera rays, Morton/octant-sorted bounce rays) touch only
-their frustum's subtree; a fully incoherent tile degrades toward the
-brute-force sweep. Per-ray t_best pruning keeps the work front shrinking.
+Mosaic ground rules this design was *measured* against (probe scripts
+scripts/probe_layouts*.py on a v5e): dynamic **sublane** slicing is fast
+(~40 ns), dynamic lane slicing / in-kernel reshape / transpose are
+unsupported, SMEM inputs up to 256 KB read scalars at ~3 ns with fully
+dynamic indices, and static lane extracts of a loaded row are ~1 ns.
+Hence: all per-node/per-triangle values are fetched as SCALARS (static
+lane positions, dynamic sublane row) and broadcast against the full
+(8, 128) ray tile — 8-child slab test ≈ 47 ns, 8-tri MT block ≈ 61 ns
+per 1024 rays.
+
+Scalar branches cost ~190 ns on TPU (pipeline flush), so each pop takes
+exactly one two-way branch (leaf body | node body, lax.cond); pushes are
+branchless (always store, conditionally advance the stack pointer).
+Children are pushed far-to-near per the tile's direction octant so pops
+are near-first and per-ray ``t_best`` (closest) / found-occluder state
+(anyhit) prunes far subtrees. Coherent tiles (camera rays, Morton/octant
+-sorted bounce rays, ops/raysort.py) touch only their frustum's subtree.
 """
 
 from __future__ import annotations
@@ -41,169 +58,111 @@ from .intersect import BIG_T, MT_TOLERANCE, T_MIN, ClosestHit, closest_epilogue
 
 LANES = 128
 BLOCK_ROWS = 8  # rays per program = 1024: small tiles cull better
-STACK_DEPTH = 128
-_TRI_SUB = 8  # triangles tested per (8,128) step
+STACK_DEPTH = 256
+_TRI_SUB = 8  # triangles per packed row
 
-
-def _mt_8tri(tri_blk, rox, roy, roz, rdx, rdy, rdz):
-    """MT of 8 triangles (sublanes) × 128 rays (lanes).
-
-    ``tri_blk`` is an (8, 9) block [v0|e0|e1]; rays are (1, 128) rows.
-    Returns (t (8,128), valid (8,128)) — t not yet clipped to t_best.
-    """
-    v0x, v0y, v0z = tri_blk[:, 0:1], tri_blk[:, 1:2], tri_blk[:, 2:3]
-    e0x, e0y, e0z = tri_blk[:, 3:4], tri_blk[:, 4:5], tri_blk[:, 5:6]
-    e1x, e1y, e1z = tri_blk[:, 6:7], tri_blk[:, 7:8], tri_blk[:, 8:9]
-    px = rdy * e1z - rdz * e1y
-    py = rdz * e1x - rdx * e1z
-    pz = rdx * e1y - rdy * e1x
-    det = px * e0x + py * e0y + pz * e0z
-    parallel = jnp.abs(det) < MT_TOLERANCE
-    inv_det = 1.0 / jnp.where(parallel, 1.0, det)
-    tx = rox - v0x
-    ty = roy - v0y
-    tz = roz - v0z
-    qx = ty * e0z - tz * e0y
-    qy = tz * e0x - tx * e0z
-    qz = tx * e0y - ty * e0x
-    u = inv_det * (px * tx + py * ty + pz * tz)
-    v = inv_det * (qx * rdx + qy * rdy + qz * rdz)
-    t = inv_det * (qx * e1x + qy * e1y + qz * e1z)
-    valid = (
-        (~parallel)
-        & (u >= -MT_TOLERANCE)
-        & (v >= -MT_TOLERANCE)
-        & (u + v <= 1.0 + MT_TOLERANCE)
-        & (t > T_MIN)
-    )
-    return t, valid
+CODE_EMPTY = 0
+CODE_INTERNAL = 1
+CODE_LEAF = 2
 
 
 def _traverse_kernel(
     anyhit: bool,
-    ox, oy, oz, dx, dy, dz, tmax,
-    lo, hi, meta, tri,
-    out_t, out_i,
-    stack, flags,
+    meta,  # SMEM (M*16,) i32
+    ox, oy, oz, dx, dy, dz, tmax,  # VMEM ray planes (BLOCK_ROWS, 128)
+    nodebox, tri,  # VMEM tables
+    out_t, out_i,  # VMEM outputs (BLOCK_ROWS, 128)
+    stack,  # SMEM scratch
 ):
     tiny = jnp.float32(1e-12)
-    sub_iota = lax.broadcasted_iota(jnp.int32, (_TRI_SUB, LANES), 0)
+    oxv, oyv, ozv = ox[...], oy[...], oz[...]
+    dxv, dyv, dzv = dx[...], dy[...], dz[...]
+    invx = 1.0 / jnp.where(jnp.abs(dxv) < tiny, tiny, dxv)
+    invy = 1.0 / jnp.where(jnp.abs(dyv) < tiny, tiny, dyv)
+    invz = 1.0 / jnp.where(jnp.abs(dzv) < tiny, tiny, dzv)
+    tmaxv = tmax[...]
 
-    out_t[...] = jnp.full((BLOCK_ROWS, LANES), BIG_T, jnp.float32)
-    out_i[...] = jnp.zeros((BLOCK_ROWS, LANES), jnp.int32)
+    # Tile direction octant (majority sign) selects the far-to-near child
+    # visit order. Tiles are octant-sorted (ops/raysort.py), so the
+    # majority sign is exact for all but boundary tiles — and for those
+    # it is merely a weaker ordering, never a correctness issue.
+    oct_ = (
+        (jnp.sum(dxv) < 0.0).astype(jnp.int32)
+        + 2 * (jnp.sum(dyv) < 0.0).astype(jnp.int32)
+        + 4 * (jnp.sum(dzv) < 0.0).astype(jnp.int32)
+    )
+
     stack[0] = 0
+    big = jnp.full((BLOCK_ROWS, LANES), BIG_T, jnp.float32)
+    zero_i = jnp.zeros((BLOCK_ROWS, LANES), jnp.int32)
 
-    # Tile direction octant selects the node bank whose children are
-    # stored far-to-near for this octant (ops/bvh.py _octant_banks) —
-    # pushes in storage order then pop near-first, so per-ray t_best
-    # (closest) / found-occluder state (anyhit) prunes far subtrees.
-    # Tiles are octant-sorted, so the majority sign is exact for all but
-    # boundary tiles — and for those it is merely a weaker ordering.
-    oct = (
-        (jnp.sum(dx[...]) < 0.0).astype(jnp.int32)
-        + 2 * (jnp.sum(dy[...]) < 0.0).astype(jnp.int32)
-        + 4 * (jnp.sum(dz[...]) < 0.0).astype(jnp.int32)
-    )
-
-    def body(carry):
-        ptr, _ = carry
-        entry = stack[ptr - 1]
-        ptr = ptr - 1
-        is_leaf = entry < 0
-
-        @pl.when(is_leaf)
-        def _():
-            base = -entry - 1
-            for blk in range(LEAF_SIZE // _TRI_SUB):
-                tri_blk = tri[pl.ds(base + blk * _TRI_SUB, _TRI_SUB), :]
-                row_idx = base + blk * _TRI_SUB + sub_iota
-                for rg in range(BLOCK_ROWS):
-                    rox = ox[rg : rg + 1, :]
-                    roy = oy[rg : rg + 1, :]
-                    roz = oz[rg : rg + 1, :]
-                    rdx = dx[rg : rg + 1, :]
-                    rdy = dy[rg : rg + 1, :]
-                    rdz = dz[rg : rg + 1, :]
-                    t8, valid8 = _mt_8tri(tri_blk, rox, roy, roz, rdx, rdy, rdz)
-                    if anyhit:
-                        hit8 = valid8 & (t8 < tmax[rg : rg + 1, :])
-                        out_i[rg, :] = out_i[rg, :] | jnp.any(hit8, axis=0).astype(
-                            jnp.int32
-                        )
-                    else:
-                        t_cur = out_t[rg : rg + 1, :]
-                        t8c = jnp.where(valid8 & (t8 < t_cur), t8, BIG_T)
-                        t_min8 = jnp.min(t8c, axis=0, keepdims=True)
-                        better = t_min8 < t_cur
-                        # winning sublane → triangle row (min id on tie)
-                        i_min8 = jnp.min(
-                            jnp.where(t8c == t_min8, row_idx, jnp.int32(2**30)),
-                            axis=0,
-                            keepdims=True,
-                        )
-                        out_t[rg, :] = jnp.where(better, t_min8, t_cur)[0]
-                        out_i[rg, :] = jnp.where(
-                            better, i_min8, out_i[rg : rg + 1, :]
-                        )[0]
-
-        new_ptr = _process_node(
-            anyhit, oct, entry, ptr, ox, oy, oz, dx, dy, dz, tmax,
-            lo, hi, meta, out_t, out_i, stack, flags, tiny,
-        )
-        ptr = jnp.where(is_leaf, ptr, new_ptr)
-        if anyhit:
-            # whole-tile early exit once every ray has found an occluder
-            done = jnp.all(out_i[...] > 0)
-        else:
-            done = jnp.bool_(False)
-        return ptr, done
-
-    lax.while_loop(
-        lambda c: (c[0] > 0) & ~c[1], body, (jnp.int32(1), jnp.bool_(False))
-    )
-
-
-def _process_node(
-    anyhit, oct, entry, ptr, ox, oy, oz, dx, dy, dz, tmax,
-    lo, hi, meta, out_t, out_i, stack, flags, tiny,
-):
-    """Slab-test the 8 children of node ``entry`` against the tile and
-    push survivors (branchlessly) in far-to-near storage order. Runs
-    predicated on ``entry >= 0``; returns the updated stack pointer
-    (caller selects)."""
-    node = jnp.maximum(entry, 0)
-
-    @pl.when(entry >= 0)
-    def _():
-        blo = lo[oct, node]  # (8, 3): children in sublanes, dims in lanes
-        bhi = hi[oct, node]
-        lox, loy, loz = blo[:, 0:1], blo[:, 1:2], blo[:, 2:3]
-        hix, hiy, hiz = bhi[:, 0:1], bhi[:, 1:2], bhi[:, 2:3]
-
-        acc = jnp.zeros((8, 1), jnp.bool_)
-        for rg in range(BLOCK_ROWS):
-            rox = ox[rg : rg + 1, :]
-            roy = oy[rg : rg + 1, :]
-            roz = oz[rg : rg + 1, :]
-            rdx = dx[rg : rg + 1, :]
-            rdy = dy[rg : rg + 1, :]
-            rdz = dz[rg : rg + 1, :]
-            invx = 1.0 / jnp.where(jnp.abs(rdx) < tiny, tiny, rdx)
-            invy = 1.0 / jnp.where(jnp.abs(rdy) < tiny, tiny, rdy)
-            invz = 1.0 / jnp.where(jnp.abs(rdz) < tiny, tiny, rdz)
-            if anyhit:
-                # rays already occluded contribute nothing (limit -1)
-                limit = jnp.where(
-                    out_i[rg : rg + 1, :] > 0, -1.0, tmax[rg : rg + 1, :]
+    def leaf_body(entry, ptr, t_best, i_best):
+        base = -entry - 1  # triangle block row
+        for blk in range(LEAF_SIZE // _TRI_SUB):
+            row = tri[pl.ds(base + blk, 1), :]
+            for c in range(_TRI_SUB):
+                v0x = row[0, c]
+                v0y = row[0, 8 + c]
+                v0z = row[0, 16 + c]
+                e0x = row[0, 24 + c]
+                e0y = row[0, 32 + c]
+                e0z = row[0, 40 + c]
+                e1x = row[0, 48 + c]
+                e1y = row[0, 56 + c]
+                e1z = row[0, 64 + c]
+                px = dyv * e1z - dzv * e1y
+                py = dzv * e1x - dxv * e1z
+                pz = dxv * e1y - dyv * e1x
+                det = px * e0x + py * e0y + pz * e0z
+                parallel = jnp.abs(det) < MT_TOLERANCE
+                inv_det = 1.0 / jnp.where(parallel, 1.0, det)
+                tx = oxv - v0x
+                ty = oyv - v0y
+                tz = ozv - v0z
+                qx = ty * e0z - tz * e0y
+                qy = tz * e0x - tx * e0z
+                qz = tx * e0y - ty * e0x
+                u = inv_det * (px * tx + py * ty + pz * tz)
+                v = inv_det * (qx * dxv + qy * dyv + qz * dzv)
+                t = inv_det * (qx * e1x + qy * e1y + qz * e1z)
+                ok = (
+                    (~parallel)
+                    & (u >= -MT_TOLERANCE)
+                    & (v >= -MT_TOLERANCE)
+                    & (u + v <= 1.0 + MT_TOLERANCE)
+                    & (t > T_MIN)
                 )
-            else:
-                limit = out_t[rg : rg + 1, :]
-            t0x = (lox - rox) * invx
-            t1x = (hix - rox) * invx
-            t0y = (loy - roy) * invy
-            t1y = (hiy - roy) * invy
-            t0z = (loz - roz) * invz
-            t1z = (hiz - roz) * invz
+                if anyhit:
+                    i_best = i_best | (ok & (t < tmaxv)).astype(jnp.int32)
+                else:
+                    better = ok & (t < t_best)
+                    tid = (base + blk) * _TRI_SUB + c
+                    t_best = jnp.where(better, t, t_best)
+                    i_best = jnp.where(better, tid, i_best)
+        return ptr, t_best, i_best
+
+    def node_body(entry, ptr, t_best, i_best):
+        node = entry
+        row = nodebox[pl.ds(node, 1), :]
+        if anyhit:
+            # rays already occluded contribute nothing (limit -1)
+            limit = jnp.where(i_best > 0, -1.0, tmaxv)
+        else:
+            limit = t_best
+        hitmask = jnp.int32(0)
+        for c in range(8):
+            lox = row[0, c]
+            loy = row[0, 8 + c]
+            loz = row[0, 16 + c]
+            hix = row[0, 24 + c]
+            hiy = row[0, 32 + c]
+            hiz = row[0, 40 + c]
+            t0x = (lox - oxv) * invx
+            t1x = (hix - oxv) * invx
+            t0y = (loy - oyv) * invy
+            t1y = (hiy - oyv) * invy
+            t0z = (loz - ozv) * invz
+            t1z = (hiz - ozv) * invz
             tn = jnp.maximum(
                 jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
                 jnp.maximum(jnp.minimum(t0z, t1z), T_MIN),
@@ -212,20 +171,43 @@ def _process_node(
                 jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
                 jnp.minimum(jnp.maximum(t0z, t1z), limit),
             )
-            acc = acc | jnp.any(tn <= tf, axis=1, keepdims=True)
+            hitmask = hitmask | (jnp.any(tn <= tf).astype(jnp.int32) << c)
 
-        flags[...] = acc.astype(jnp.int32)
+        pc = meta[node * 16 + 8 + oct_]
+        new_ptr = ptr
+        # branchless pushes: always store, conditionally advance
+        for k in range(8):
+            ch = (pc >> (3 * k)) & 7
+            w = meta[node * 16 + ch]
+            code = w & 63
+            payload = lax.shift_right_logical(w, 6)
+            wanted = (((hitmask >> ch) & 1) > 0) & (code != CODE_EMPTY)
+            enc = jnp.where(code == CODE_LEAF, -payload - 1, payload)
+            stack[new_ptr] = enc
+            new_ptr = new_ptr + wanted.astype(jnp.int32)
+        return new_ptr, t_best, i_best
 
-    # branchless pushes: always store, conditionally advance the pointer
-    new_ptr = ptr
-    for ch in range(8):
-        cnt = meta[oct, node, ch, 1]
-        base = meta[oct, node, ch, 0]
-        wanted = (flags[ch, 0] > 0) & (entry >= 0) & (cnt >= 0)
-        enc = jnp.where(cnt > 0, -base - 1, base)
-        stack[new_ptr] = enc
-        new_ptr = new_ptr + wanted.astype(jnp.int32)
-    return new_ptr
+    def body(carry):
+        ptr, t_best, i_best = carry
+        entry = stack[ptr - 1]
+        ptr = ptr - 1
+        return lax.cond(
+            entry < 0, leaf_body, node_body, entry, ptr, t_best, i_best
+        )
+
+    def cond(carry):
+        ptr, _, i_best = carry
+        alive = ptr > 0
+        if anyhit:
+            # whole-tile early exit once every ray has found an occluder
+            alive = alive & ~jnp.all(i_best > 0)
+        return alive
+
+    _, t_best, i_best = lax.while_loop(
+        cond, body, (jnp.int32(1), big, zero_i)
+    )
+    out_t[...] = t_best
+    out_i[...] = i_best
 
 
 def _pack_rays(o, d, extra=None):
@@ -249,16 +231,17 @@ def _pack_rays(o, d, extra=None):
     return planes, rows, n
 
 
-def _call(anyhit, planes, bvh_lo, bvh_hi, bvh_meta, tri_rows, rows, interpret=False):
+def _call(anyhit, planes, nodebox, nodemeta, tri_rows, rows, interpret=False):
     grid = rows // BLOCK_ROWS
     ray_spec = pl.BlockSpec(
         (BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     return pl.pallas_call(
         functools.partial(_traverse_kernel, anyhit),
         grid=(grid,),
-        in_specs=[ray_spec] * 7 + [full] * 4,
+        in_specs=[smem] + [ray_spec] * 7 + [full] * 2,
         out_specs=[ray_spec, ray_spec],
         out_shape=[
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
@@ -266,24 +249,31 @@ def _call(anyhit, planes, bvh_lo, bvh_hi, bvh_meta, tri_rows, rows, interpret=Fa
         ],
         scratch_shapes=[
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-            pltpu.VMEM((8, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(*planes, bvh_lo, bvh_hi, bvh_meta, tri_rows)
+    )(nodemeta, *planes, nodebox, tri_rows)
 
 
 def tri_rows_pack(v0, e0, e1):
-    """(T, 9) leaf-major triangle rows [v0|e0|e1]."""
-    return jnp.concatenate([v0, e0, e1], axis=1)
+    """(Tp, 3)×3 packed-order triangle SoA → (B, 128) comp-major rows of
+    8 triangles (72 lanes used; see module docstring). Tp must be a
+    multiple of 8 (LEAF_SIZE-padded by pack_bvh)."""
+    tp = v0.shape[0]
+    assert tp % _TRI_SUB == 0, "triangle array must be LEAF_SIZE-padded"
+    b = tp // _TRI_SUB
+    cols = []
+    for arr in (v0, e0, e1):
+        for k in range(3):
+            cols.append(arr[:, k].reshape(b, _TRI_SUB))
+    packed = jnp.concatenate(cols, axis=1)  # (B, 72)
+    return jnp.pad(packed, ((0, 0), (0, LANES - 9 * _TRI_SUB)))
 
 
-def bvh_closest_raw(
-    o, d, bvh_lo, bvh_hi, bvh_meta, tri_rows, interpret=False
-):
+def bvh_closest_raw(o, d, nodebox, nodemeta, tri_rows, interpret=False):
     """Kernel only: (t, packed-row index) in the given ray order."""
     planes, rows, n = _pack_rays(o, d)
     best_t, best_i = _call(
-        False, planes, bvh_lo, bvh_hi, bvh_meta, tri_rows, rows, interpret
+        False, planes, nodebox, nodemeta, tri_rows, rows, interpret
     )
     return (
         best_t.reshape(-1)[:n],
@@ -292,30 +282,28 @@ def bvh_closest_raw(
 
 
 def bvh_closest_pallas(
-    o, d, v0, e0, e1, bvh_lo, bvh_hi, bvh_meta, tri_rows, t_max=None,
+    o, d, v0, e0, e1, nodebox, nodemeta, tri_rows, t_max=None,
     interpret=False,
 ) -> ClosestHit:
     """Closest hit through the BVH. Triangle arrays must already be in
     BVH (leaf-major, LEAF_SIZE-padded) order."""
     best_t, best_i = bvh_closest_raw(
-        o, d, bvh_lo, bvh_hi, bvh_meta, tri_rows, interpret
+        o, d, nodebox, nodemeta, tri_rows, interpret
     )
     return closest_epilogue(o, d, v0, e0, e1, best_t, best_i, t_max)
 
 
-def bvh_any_raw(o, d, bvh_lo, bvh_hi, bvh_meta, tri_rows, t_max, interpret=False):
+def bvh_any_raw(o, d, nodebox, nodemeta, tri_rows, t_max, interpret=False):
     """Kernel only: (N,) i32 occlusion flags in the given ray order."""
     t_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (o.shape[0],))
     planes, rows, n = _pack_rays(o, d, t_arr)
     _, occ = _call(
-        True, planes, bvh_lo, bvh_hi, bvh_meta, tri_rows, rows, interpret
+        True, planes, nodebox, nodemeta, tri_rows, rows, interpret
     )
     return occ.reshape(-1)[:n]
 
 
-def bvh_any_pallas(
-    o, d, bvh_lo, bvh_hi, bvh_meta, tri_rows, t_max, interpret=False
-):
+def bvh_any_pallas(o, d, nodebox, nodemeta, tri_rows, t_max, interpret=False):
     return bvh_any_raw(
-        o, d, bvh_lo, bvh_hi, bvh_meta, tri_rows, t_max, interpret
+        o, d, nodebox, nodemeta, tri_rows, t_max, interpret
     ) > 0

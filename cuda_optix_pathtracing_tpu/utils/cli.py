@@ -115,6 +115,16 @@ def main(argv=None) -> int:
     if cfg.coordinator or cfg.num_processes:
         # multi-host: pixels sharded over the global mesh, film assembled
         # on every host; rank 0 writes outputs
+        if film is not None:
+            log.warning(
+                "--checkpoint resume is not supported in multi-host mode; "
+                "re-rendering %d spp from scratch", cfg.spp,
+            )
+        if cfg.save_partial:
+            log.warning(
+                "--save-partial / kspp batching is not supported in "
+                "multi-host mode; only the final image is written"
+            )
         from ..parallel.distributed import render_multihost
 
         film = render_multihost(

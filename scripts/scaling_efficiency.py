@@ -65,7 +65,14 @@ def main():
             [sys.executable, "-c", CHILD, str(n)],
             env=env, capture_output=True, text=True, timeout=600,
         )
-        line = out.stdout.strip().splitlines()[-1]
+        if out.returncode:
+            sys.exit(
+                f"child (n={n}) failed rc={out.returncode}:\n{out.stderr}"
+            )
+        lines = out.stdout.strip().splitlines()
+        if not lines:
+            sys.exit(f"child (n={n}) produced no output:\n{out.stderr}")
+        line = lines[-1]
         rows.append(json.loads(line))
         print(line, flush=True)
 

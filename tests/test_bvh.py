@@ -87,7 +87,7 @@ def test_pallas_closest_matches_brute(t, n):
 
     hit = bvh_closest_pallas(
         jnp.asarray(o), jnp.asarray(d), pv0, pe0, pe1,
-        packed.lo, packed.hi, packed.meta, tri_rows,
+        packed.box, packed.meta, tri_rows,
         interpret=True,
     )
     ref = intersect_closest(
@@ -118,7 +118,7 @@ def test_pallas_anyhit_matches_brute(t, n):
 
     occ = bvh_any_pallas(
         jnp.asarray(o), jnp.asarray(d),
-        packed.lo, packed.hi, packed.meta, tri_rows, t_max,
+        packed.box, packed.meta, tri_rows, t_max,
         interpret=True,
     )
     ref = intersect_any(
