@@ -10,7 +10,12 @@ docs/dmt-mk_roofline_point.txt, BASELINE.md).
 extra:
 - cornell_mesh_bvh_mpaths: the same estimator on the BVH-exercising
   mesh Cornell (two subdiv-64 spheres ≈ 8.3k tris, BASELINE config 4
-  class) through bvh_closest_pallas with octant/Morton ray sorting.
+  class) through the XLA wavefront + packet-BVH kernels with
+  octant/Morton ray sorting, 8 spp flattened per pass (r4 tuning:
+  LEAF_SIZE=16, 16-row tiles, dead-ray parking — docs/perf_notes.md).
+- fwd_bwd_mpaths: ONE value_and_grad step of the albedo L2 loss at 256²
+  depth-5 (path-replay backward via remat) in paths/s counting forward
+  paths only — BASELINE.md's north-star "fwd+bwd Mpaths/s/chip" metric.
 - vpu_tflops / vpu_fraction: sustained fp32 FLOP/s of the headline run
   against the ~3.9 TFLOP/s v5e VPU fp32 ceiling (flop count per path:
   5 bounces × [26 tris × (45 MT closest + 45 fetch + 45 anyhit)] +
@@ -28,23 +33,48 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def _throughput(scene, cfg, width, height, kspp, iters=4):
+def _throughput(scene, cfg, width, height, kspp, iters=4, spp_per_pass=1):
     from cuda_optix_pathtracing_tpu.models.megakernel import render_progressive
     from cuda_optix_pathtracing_tpu.ops.film import film_new
 
     film = film_new(height, width)
     film = render_progressive(
-        scene, film, cfg, width, height, jnp.uint32(0), kspp, 1
+        scene, film, cfg, width, height, jnp.uint32(0), kspp, spp_per_pass
     )
     film.mean.block_until_ready()
     t0 = time.perf_counter()
     for i in range(iters):
         film = render_progressive(
-            scene, film, cfg, width, height, jnp.uint32((i + 1) * kspp), kspp, 1
+            scene, film, cfg, width, height, jnp.uint32((i + 1) * kspp),
+            kspp, spp_per_pass,
         )
     film.mean.block_until_ready()
     dt = time.perf_counter() - t0
     return width * height * kspp * iters / dt / 1e6
+
+
+def _fwd_bwd(scene, width, height):
+    """paths/s of one albedo-gradient step (spp=1 per step, depth 5)."""
+    from cuda_optix_pathtracing_tpu.models.differentiable import (
+        init_params,
+        make_loss,
+    )
+    from cuda_optix_pathtracing_tpu.models.megakernel import MegakernelConfig
+
+    cfg = MegakernelConfig(max_depth=5, remat=True, fused="off")
+    target = jnp.zeros((height, width, 3), jnp.float32)
+    loss = make_loss(scene, cfg, width, height, spp=1, target=target)
+    params = init_params(scene)
+    step = jax.jit(jax.value_and_grad(loss))
+    l, g = step(params)
+    l.block_until_ready()
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        l, g = step(params)
+    l.block_until_ready()
+    dt = time.perf_counter() - t0
+    return width * height * iters / dt / 1e6
 
 
 def main():
@@ -76,9 +106,15 @@ def main():
     cfg_m = MegakernelConfig(
         max_depth=5,
         remat=False,
+        fused="off",
         features=mat_features_from_table(scene_m.materials),
     )
-    mpaths_bvh = _throughput(scene_m, cfg_m, width, height, 4, iters=3)
+    mpaths_bvh = _throughput(
+        scene_m, cfg_m, width, height, 8, iters=3, spp_per_pass=8
+    )
+
+    # --- differentiable: fwd+bwd albedo gradient step ---
+    fwd_bwd = _fwd_bwd(scene, width, height)
 
     # --- roofline fraction of the headline run ---
     flops_per_path = 5 * (26 * (45 + 45 + 45)) + 5 * 800  # ≈ 21.5 kflop
@@ -95,6 +131,7 @@ def main():
                 "vs_baseline": round(mpaths_s / baseline_mpaths_s, 3),
                 "extra": {
                     "cornell_mesh_bvh_mpaths": round(mpaths_bvh, 3),
+                    "fwd_bwd_mpaths": round(fwd_bwd, 3),
                     "vpu_tflops": round(vpu_tflops, 3),
                     "vpu_fraction": round(vpu_tflops / vpu_peak, 3),
                 },

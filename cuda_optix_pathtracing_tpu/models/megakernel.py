@@ -124,9 +124,27 @@ def _sort_on(cfg, scene) -> bool:
     return False
 
 
+_DEAD_ORIGIN = 1.0e9  # parked origin for dead lanes: outside every AABB
+_DEAD_DIR = (0.57735027, 0.57735027, 0.57735027)  # +octant, points away
+
+
+def _park_dead(o, d, alive):
+    """Move dead rays to a far origin pointing away from the scene so
+    packet tiles don't descend the tree for lanes whose results are
+    masked out anyway (their slab test can never reach tf ≥ T_MIN)."""
+    if alive is None:
+        return o, d
+    m = alive[:, None]
+    return (
+        jnp.where(m, o, _DEAD_ORIGIN),
+        jnp.where(m, d, jnp.asarray(_DEAD_DIR, d.dtype)),
+    )
+
+
 def _closest(scene: Scene, cfg, o, d, alive=None):
     if _use_pallas(cfg):
         if scene.bvh is not None:
+            o, d = _park_dead(o, d, alive)
             tri_rows = tri_rows_pack(scene.tri_v0, scene.tri_e0, scene.tri_e1)
             if _sort_on(cfg, scene):
                 blo, bhi = scene_bounds(
@@ -158,6 +176,7 @@ def _closest(scene: Scene, cfg, o, d, alive=None):
 def _any(scene: Scene, cfg, o, d, t_max, alive=None):
     if _use_pallas(cfg):
         if scene.bvh is not None:
+            o, d = _park_dead(o, d, alive)
             tri_rows = tri_rows_pack(scene.tri_v0, scene.tri_e0, scene.tri_e1)
             if _sort_on(cfg, scene):
                 blo, bhi = scene_bounds(
@@ -196,8 +215,8 @@ def _use_fused(cfg, scene) -> bool:
     # light type sets). Under a jit trace those are unavailable — resolve
     # with resolve_fused() outside jit (render() does) to get the fused
     # kernel; the traced fallback is conservative.
-    if not _use_pallas(cfg):
-        return False
+    if not _use_pallas(cfg) or scene.bvh is not None:
+        return False  # auto never fuses BVH scenes (see resolve_fused)
     try:
         return pallas_megakernel_supported(scene, cfg)
     except jax.errors.TracerArrayConversionError:
@@ -220,7 +239,15 @@ def resolve_fused(scene: Scene, cfg: "MegakernelConfig") -> "MegakernelConfig":
         return cfg
     if cfg.fused == "off":
         return cfg
-    on = _use_pallas(cfg) and pallas_megakernel_supported(scene, cfg)
+    # policy (r4): BVH scenes are fused-CAPABLE (in-kernel packet
+    # traversal) but the XLA wavefront re-sorts rays every depth and
+    # measures ~4× faster on mesh scenes (docs/perf_notes.md r4 table),
+    # so "auto" only fuses brute-force scenes; force with fused="on".
+    on = (
+        _use_pallas(cfg)
+        and scene.bvh is None
+        and pallas_megakernel_supported(scene, cfg)
+    )
     return dataclasses.replace(cfg, fused="on" if on else "off")
 
 
@@ -324,6 +351,61 @@ def _textured_mat(scene: Scene, mat, hit, cone_w):
     return mat._replace(
         albedo=albedo, alphax=alphax, alphay=alphay, on_sigma=on_sigma
     )
+
+
+def _normal_mapped(scene: Scene, mat, hit, ns, cone_w):
+    """Perturb the shading normal by the material's tangent-space normal
+    map (reference materialShadingNormal, core-material.cpp:403; texel
+    remap core-texture.h:188-290). No-op for rays whose material has no
+    ``normal_tex`` or whose UV parameterization is degenerate.
+
+    The tangent frame comes from the UV derivatives: with
+    ``p = v0 + u·e0 + v·e1`` and ``uv = uv0 + u·duv1 + v·duv2``,
+    ``dpdu = (dv2·e0 − dv1·e1)/det``, ``dpdv = (du1·e1 − du2·e0)/det``
+    (det = du1·dv2 − dv1·du2), then Gram-Schmidt against ``ns`` with the
+    bitangent handedness taken from dpdv."""
+    if scene.textures is None or scene.tri_uv is None:
+        return ns
+    from ..ops.texture import raycone_lod, sample_trilinear
+
+    t = scene.tri_uv.shape[0]
+    uv3 = onehot_gather(scene.tri_uv.reshape(t, 6), hit.tri).reshape(-1, 3, 2)
+    w = (1.0 - hit.u - hit.v)[..., None]
+    uv = w * uv3[:, 0] + hit.u[..., None] * uv3[:, 1] + hit.v[..., None] * uv3[:, 2]
+    duv1 = uv3[:, 1] - uv3[:, 0]
+    duv2 = uv3[:, 2] - uv3[:, 0]
+    e0 = onehot_gather(scene.tri_e0, hit.tri)
+    e1 = onehot_gather(scene.tri_e1, hit.tri)
+    det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+    ok_uv = jnp.abs(det) > 1e-12
+    inv_det = 1.0 / jnp.where(ok_uv, det, 1.0)
+    dpdu = (duv2[:, 1:2] * e0 - duv1[:, 1:2] * e1) * inv_det[:, None]
+    dpdv = (duv1[:, 0:1] * e1 - duv2[:, 0:1] * e0) * inv_det[:, None]
+
+    has_nm = mat.normal_tex >= 0
+    tid = jnp.maximum(mat.normal_tex, 0)
+    dens = onehot_gather(scene.tri_uvdens[:, None], hit.tri)[:, 0]
+    lod = raycone_lod(scene.textures, tid, cone_w, dens)
+    texel = sample_trilinear(scene.textures, tid, uv, lod)
+    n_t = 2.0 * texel - 1.0  # tangent-space normal, z out of the surface
+
+    # orthonormal TBN about the interpolated shading normal
+    tang = dpdu - ns * jnp.sum(ns * dpdu, axis=-1, keepdims=True)
+    tlen = jnp.sqrt(jnp.maximum(jnp.sum(tang * tang, axis=-1), 1e-20))
+    tang = tang / tlen[:, None]
+    bita = cross(ns, tang)
+    handed = jnp.where(jnp.sum(bita * dpdv, axis=-1) < 0.0, -1.0, 1.0)
+    bita = bita * handed[:, None]
+    n_new = (
+        n_t[:, 0:1] * tang + n_t[:, 1:2] * bita + n_t[:, 2:3] * ns
+    )
+    bad = jnp.sum(n_new * n_new, axis=-1) < 1e-12
+    n_new = normalize(jnp.where(bad[:, None], ns, n_new))
+    # stay in the incident hemisphere (hit.normal is incident-aligned)
+    flip = jnp.sum(n_new * hit.normal, axis=-1, keepdims=True) < 0.0
+    n_new = jnp.where(flip, -n_new, n_new)
+    use = has_nm & ok_uv & (tlen > 1e-10)
+    return jnp.where(use[:, None], n_new, ns)
 
 
 def _shading_normal(scene: Scene, hit):
@@ -609,6 +691,7 @@ def bounce_step(scene: Scene, cfg, sampler, px, py, sample, depth, state: PathSt
     mat = scene.materials.gather(onehot_gather(scene.tri_mat, hit.tri))
     mat = _textured_mat(scene, mat, hit, cone_at_hit)
     ns = _shading_normal(scene, hit)
+    ns = _normal_mapped(scene, mat, hit, ns, cone_at_hit)
 
     use_tree = _tree_on(cfg, scene)
     if scene.emissive is not None:

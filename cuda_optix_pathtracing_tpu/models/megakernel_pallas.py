@@ -49,11 +49,15 @@ from ..ops.bsdf import (
     THROUGHPUT_EPS,
     _e_poly_coeffs,
 )
+from ..ops.bvh_pallas import STACK_DEPTH, tile_traverse, tri_rows_pack
 from ..ops.intersect import BIG_T, MT_TOLERANCE, T_MIN
 from ..scene.types import Scene
 
 LANES = 128
-BLOCK_ROWS = 64  # rays per program = 8192: big tiles amortize per-op cost
+BLOCK_ROWS = 64  # rays per program = 8192: big tiles amortize the scalar
+# SMEM triangle streaming of the brute-force sweep
+BLOCK_ROWS_BVH = 8  # packet traversal wants SMALL tiles: a shared stack
+# descends the union frustum, so fewer rays per tile = tighter culling
 
 U32 = jnp.uint32
 PI = 3.14159265358979
@@ -378,18 +382,26 @@ def _fetch_material(mat_tab, mat_id, n_mats):
 
 
 def _pt_kernel(
+    use_bvh: bool,
     n_tris: int,
     n_mats: int,
     n_lights: int,
     max_depth: int,
     rr_start_depth: int,
     e_coeffs,  # (coef2d np, coef1d np, deg) baked as Python constants
-    # --- refs ---
-    ox, oy, oz, dx, dy, dz, pxr, pyr, smp,
-    tri, mat_id_tab, mat_tab, light_tab, env,
-    lr, lg, lb,
+    # --- refs (two layouts, see trace_paths_fused) ---
+    *refs,
 ):
     coef2d, coef1d, deg = e_coeffs
+    if use_bvh:
+        (ox, oy, oz, dx, dy, dz, pxr, pyr, smp,
+         nodemeta, mat_tab, light_tab, env,
+         tri, nodebox, lr, lg, lb, stack) = refs
+        mat_id_tab = None
+    else:
+        (ox, oy, oz, dx, dy, dz, pxr, pyr, smp,
+         tri, mat_id_tab, mat_tab, light_tab, env,
+         lr, lg, lb) = refs
 
     o = (ox[...], oy[...], oz[...])
     d = (dx[...], dy[...], dz[...])
@@ -408,8 +420,9 @@ def _pt_kernel(
     env_g = env[1]
     env_b = env[2]
 
-    def closest_hit(o, d):
-        """Brute-force MT sweep; returns (hit, t, mat params, pos, ng, err)."""
+    def closest_hit(o, d, alive=None):
+        """Brute-force MT sweep; returns (hit, t, mat params, pos, ng, err).
+        ``alive`` is ignored here — the dense sweep can't skip lanes."""
         t_best = jnp.full(shape, BIG_T, jnp.float32)
         i_best = jnp.zeros(shape, jnp.int32)
 
@@ -495,7 +508,7 @@ def _pt_kernel(
         )
         return hit, t_best, mat_b, pos, ng, err
 
-    def any_hit(o, d, t_max):
+    def any_hit(o, d, t_max, alive=None):
         def body(t_idx, occ):
             v0x, v0y, v0z = tri[0, t_idx], tri[1, t_idx], tri[2, t_idx]
             e0x, e0y, e0z = tri[3, t_idx], tri[4, t_idx], tri[5, t_idx]
@@ -527,6 +540,44 @@ def _pt_kernel(
         return (
             lax.fori_loop(0, n_tris, body, jnp.zeros(shape, jnp.int32)) > 0
         )
+
+    if use_bvh:
+        # BVH overrides: shared-stack packet traversal over the PackedBVH
+        # tables (ops/bvh_pallas.tile_traverse) instead of the brute
+        # sweeps; winner attributes accumulate during traversal so no
+        # second fetch pass (and no per-lane gather) is needed.
+
+        def closest_hit(o, d, alive=None):  # noqa: F811
+            t_b, u_b, v_b, m_f, p0, e0v, e1v = tile_traverse(
+                "attrs", o, d, nodemeta, nodebox, tri, stack, alive=alive
+            )
+            hit = t_b < BIG_T
+            mat_b = m_f.astype(jnp.int32)
+            pos = vadd(vadd(p0, vscale(e0v, u_b)), vscale(e1v, v_b))
+            ng = vnormalize(vcross(e1v, e0v))
+            ng = vwhere(vdot(d, ng) > 0.0, vneg(ng), ng)
+            w_b = 1.0 - u_b - v_b
+            p1 = vadd(p0, e0v)
+            p2 = vadd(p0, e1v)
+            err = tuple(
+                GAMMA7
+                * (
+                    jnp.abs(u_b * p0[c])
+                    + jnp.abs(v_b * p1[c])
+                    + jnp.abs(w_b * p2[c])
+                )
+                for c in range(3)
+            )
+            return hit, t_b, mat_b, pos, ng, err
+
+        def any_hit(o, d, t_max, alive=None):  # noqa: F811
+            return (
+                tile_traverse(
+                    "any", o, d, nodemeta, nodebox, tri, stack,
+                    tmax=t_max, alive=alive,
+                )
+                > 0
+            )
 
     def offset_origin(p, err, ng, w):
         """vecmath.offset_ray_origin parity, ULP nudge via int bit-step."""
@@ -873,7 +924,7 @@ def _pt_kernel(
         inside = inside_i > 0
         depth_dim = depth.astype(U32) * U32(24)  # DIMS_PER_BOUNCE
 
-        hit, t_hit, mat_id, pos, ng, err = closest_hit(o, d)
+        hit, t_hit, mat_id, pos, ng, err = closest_hit(o, d, alive)
 
         # miss → constant environment (env_nee off)
         miss = alive & ~hit
@@ -909,7 +960,7 @@ def _pt_kernel(
          ) = eval_and_sample(mat, wo, ng, inside, ldir, u1b, u2b, ucb)
 
         shadow_o = offset_origin(pos, err, ng, ldir)
-        occluded = any_hit(shadow_o, ldir, ldist)
+        occluded = any_hit(shadow_o, ldir, ldist, alive)
         pmf = 1.0 / float(n_lights)
         ok = (lpdf > 0.0) & ~occluded & alive
         radiance = (
@@ -966,10 +1017,15 @@ def _pt_kernel(
 
 
 def pallas_megakernel_supported(scene: Scene, cfg) -> bool:
-    """Static feature check: can the fused kernel render (scene, cfg)?"""
+    """Static feature check: can the fused kernel render (scene, cfg)?
+
+    BVH scenes are supported since r4 (in-kernel packet traversal); the
+    node meta table must fit the 256 KB SMEM input budget."""
     import numpy as np
 
-    if scene.bvh is not None or scene.textures is not None:
+    if scene.textures is not None:
+        return False
+    if scene.bvh is not None and scene.bvh.meta.nbytes > 255 * 1024:
         return False
     if scene.emissive is not None or scene.light_tree is not None:
         return False
@@ -993,17 +1049,8 @@ def pallas_megakernel_supported(scene: Scene, cfg) -> bool:
     return True
 
 
-def _scene_tables(scene: Scene):
-    """SMEM tables: tri (9,T), mat ids (T,), materials (14,M), lights (13,L),
-    env color (3,)."""
-    tri = jnp.stack(
-        [
-            scene.tri_v0[:, 0], scene.tri_v0[:, 1], scene.tri_v0[:, 2],
-            scene.tri_e0[:, 0], scene.tri_e0[:, 1], scene.tri_e0[:, 2],
-            scene.tri_e1[:, 0], scene.tri_e1[:, 1], scene.tri_e1[:, 2],
-        ],
-        axis=0,
-    )
+def _shade_tables(scene: Scene):
+    """SMEM tables: materials (15,M), lights (13,L), env color (3,)."""
     m = scene.materials
     mat_tab = jnp.stack(
         [
@@ -1027,6 +1074,20 @@ def _scene_tables(scene: Scene):
         axis=0,
     )
     env_color = scene.env.image.reshape(-1, 3)[0] * scene.env.scale
+    return mat_tab, light_tab, env_color
+
+
+def _scene_tables(scene: Scene):
+    """Brute-force-path SMEM tables: tri (9,T), mat ids (T,), + shade."""
+    tri = jnp.stack(
+        [
+            scene.tri_v0[:, 0], scene.tri_v0[:, 1], scene.tri_v0[:, 2],
+            scene.tri_e0[:, 0], scene.tri_e0[:, 1], scene.tri_e0[:, 2],
+            scene.tri_e1[:, 0], scene.tri_e1[:, 1], scene.tri_e1[:, 2],
+        ],
+        axis=0,
+    )
+    mat_tab, light_tab, env_color = _shade_tables(scene)
     return tri, scene.tri_mat, mat_tab, light_tab, env_color
 
 
@@ -1048,8 +1109,10 @@ def trace_paths_fused(
 ):
     """Fused-path-loop radiance for rays (o, d) — drop-in for
     megakernel.trace_paths on supported scenes (forward only)."""
+    use_bvh = scene.bvh is not None
+    block_rows = BLOCK_ROWS_BVH if use_bvh else BLOCK_ROWS
     n = o.shape[0]
-    block = BLOCK_ROWS * LANES
+    block = block_rows * LANES
     pad = (-n) % block
     sample_seed = jnp.broadcast_to(
         jnp.asarray(sample, U32) ^ U32(seed), (n,)
@@ -1072,38 +1135,69 @@ def trace_paths_fused(
             sample_seed.reshape(rows, LANES),
         ]
     )
-    tri, mat_ids, mat_tab, light_tab, env_color = _scene_tables(scene)
-    n_tris = tri.shape[1]
+    if use_bvh:
+        tri, mat_ids = None, None
+        mat_tab, light_tab, env_color = _shade_tables(scene)
+        n_tris = scene.tri_v0.shape[0]
+    else:
+        tri, mat_ids, mat_tab, light_tab, env_color = _scene_tables(scene)
+        n_tris = tri.shape[1]
     n_mats = mat_tab.shape[1]
     n_lights = light_tab.shape[1]
 
-    grid = rows // BLOCK_ROWS
+    grid = rows // block_rows
     ray_spec = pl.BlockSpec(
-        (BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
     e_coeffs = _e_poly_coeffs()
+    kern = functools.partial(
+        _pt_kernel,
+        use_bvh,
+        n_tris,
+        n_mats,
+        n_lights,
+        max_depth,
+        rr_start_depth,
+        (np.asarray(e_coeffs[0]), np.asarray(e_coeffs[1]), e_coeffs[2]),
+    )
 
-    out = pl.pallas_call(
-        functools.partial(
-            _pt_kernel,
-            n_tris,
-            n_mats,
-            n_lights,
-            max_depth,
-            rr_start_depth,
-            (np.asarray(e_coeffs[0]), np.asarray(e_coeffs[1]), e_coeffs[2]),
-        ),
-        grid=(grid,),
-        in_specs=[ray_spec] * 9 + [smem] * 5,
-        out_specs=[ray_spec] * 3,
-        out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 3,
-        cost_estimate=pl.CostEstimate(
-            flops=int(rows) * LANES * max_depth * (n_tris * 90 + 900),
-            bytes_accessed=int(rows) * LANES * 15 * 4,
-            transcendentals=int(rows) * LANES * max_depth * 12,
-        ),
-        interpret=interpret,
-    )(*planes, tri, mat_ids, mat_tab, light_tab, env_color)
+    if use_bvh:
+        tri_pack = tri_rows_pack(
+            scene.tri_v0, scene.tri_e0, scene.tri_e1, scene.tri_mat
+        )
+        out = pl.pallas_call(
+            kern,
+            grid=(grid,),
+            in_specs=[ray_spec] * 9 + [smem] * 4 + [full] * 2,
+            out_specs=[ray_spec] * 3,
+            out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 3,
+            scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+            cost_estimate=pl.CostEstimate(
+                flops=int(rows) * LANES * max_depth * 40_000,
+                bytes_accessed=int(rows) * LANES * 15 * 4
+                + int(grid) * (tri_pack.size + scene.bvh.box.size) * 4,
+                transcendentals=int(rows) * LANES * max_depth * 12,
+            ),
+            interpret=interpret,
+        )(
+            *planes, scene.bvh.meta, mat_tab, light_tab, env_color,
+            tri_pack, scene.bvh.box,
+        )
+    else:
+        out = pl.pallas_call(
+            kern,
+            grid=(grid,),
+            in_specs=[ray_spec] * 9 + [smem] * 5,
+            out_specs=[ray_spec] * 3,
+            out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 3,
+            cost_estimate=pl.CostEstimate(
+                flops=int(rows) * LANES * max_depth * (n_tris * 90 + 900),
+                bytes_accessed=int(rows) * LANES * 15 * 4,
+                transcendentals=int(rows) * LANES * max_depth * 12,
+            ),
+            interpret=interpret,
+        )(*planes, tri, mat_ids, mat_tab, light_tab, env_color)
     radiance = jnp.stack([p.reshape(-1)[:n] for p in out], axis=-1)
     return radiance

@@ -31,9 +31,11 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-LEAF_SIZE = 32  # tris per leaf; kernel intersects whole blocks, so
-# larger leaves trade cheap vector MT work for fewer (scalar-serialized)
-# node pops — measured faster than 8 on TPU
+LEAF_SIZE = 16  # tris per leaf; kernel intersects whole 8-tri blocks, so
+# leaf size trades MT padding waste (avg leaf fill is ~60-70%) against
+# node-pop count. Sweep on a v5e (scripts/bvh_sweep.py, mesh Cornell):
+# camera-coherent 15.7 (leaf 8) / 24.1 (leaf 16) Mrays/s; sorted bounce
+# 3.9 / 7.0 — leaf 16 wins both.
 N_BINS = 16
 BRANCHING = 8
 

@@ -175,27 +175,13 @@ def _closest_call(planes, tri_tab, rows):
     )(*planes, tri_tab)
 
 
-def intersect_closest_pallas(o, d, v0, e0, e1, t_max=None) -> ClosestHit:
-    """Pallas closest-hit; drop-in for intersect.intersect_closest."""
-    planes, rows, n = _pack_rays(o, d)
-    tri_tab = _tri_table(v0, e0, e1)
-    best_t, best_i = _closest_call(planes, tri_tab, rows)
-    best_t = best_t.reshape(-1)[:n]
-    best_i = best_i.reshape(-1)[:n]
-    return closest_epilogue(o, d, v0, e0, e1, best_t, best_i, t_max)
-
-
-def intersect_any_pallas(o, d, v0, e0, e1, t_max):
-    """Pallas occlusion test; drop-in for intersect.intersect_any."""
-    t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (o.shape[0],))
-    planes, rows, n = _pack_rays(o, d, t_max_arr)
-    tri_tab = _tri_table(v0, e0, e1)
+def _any_call(planes, tri_tab, rows):
     n_tris = tri_tab.shape[1]
     grid = rows // BLOCK_ROWS
     ray_spec = pl.BlockSpec(
         (BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    occ = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_anyhit_kernel, n_tris),
         grid=(grid,),
         in_specs=[ray_spec] * 7 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
@@ -207,4 +193,40 @@ def intersect_any_pallas(o, d, v0, e0, e1, t_max):
             transcendentals=0,
         ),
     )(*planes, tri_tab)
+
+
+@functools.lru_cache(maxsize=None)
+def _closest_nd(rows):
+    """Zero-VJP kernel entry (ops/autodiff.py): discrete hit events are
+    constants under reverse-mode; derivatives flow through the epilogue."""
+    from .autodiff import nondiff_kernel
+
+    return nondiff_kernel(
+        lambda *a: _closest_call(list(a[:6]), a[6], rows)
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _any_nd(rows):
+    from .autodiff import nondiff_kernel
+
+    return nondiff_kernel(lambda *a: _any_call(list(a[:7]), a[7], rows))
+
+
+def intersect_closest_pallas(o, d, v0, e0, e1, t_max=None) -> ClosestHit:
+    """Pallas closest-hit; drop-in for intersect.intersect_closest."""
+    planes, rows, n = _pack_rays(o, d)
+    tri_tab = _tri_table(v0, e0, e1)
+    best_t, best_i = _closest_nd(rows)(*planes[:6], tri_tab)
+    best_t = best_t.reshape(-1)[:n]
+    best_i = best_i.reshape(-1)[:n]
+    return closest_epilogue(o, d, v0, e0, e1, best_t, best_i, t_max)
+
+
+def intersect_any_pallas(o, d, v0, e0, e1, t_max):
+    """Pallas occlusion test; drop-in for intersect.intersect_any."""
+    t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (o.shape[0],))
+    planes, rows, n = _pack_rays(o, d, t_max_arr)
+    tri_tab = _tri_table(v0, e0, e1)
+    occ = _any_nd(rows)(*planes, tri_tab)
     return occ.reshape(-1)[:n] > 0

@@ -167,3 +167,38 @@ def test_morton_order_same_image():
     a = jax.jit(lambda: render_sample_batch(scene, cfg_l, w, h, jnp.uint32(0)))()
     b = jax.jit(lambda: render_sample_batch(scene, cfg_m, w, h, jnp.uint32(0)))()
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_bvh_kernel_reverse_mode():
+    """The packet-BVH kernels are wrapped with a zero-VJP rule
+    (ops/autodiff.py) so albedo-class gradients can replay through them
+    on TPU; the epilogue's recomputed attributes stay differentiable."""
+    import jax
+
+    from cuda_optix_pathtracing_tpu.ops.bvh_pallas import bvh_closest_raw
+
+    v0, e0, e1 = random_soup(64)
+    o, d = random_rays(1024)
+    packed = pack_bvh(build_bvh(v0, e0, e1))
+    pv0 = permute_tri_array(v0, packed.perm)
+    pe0 = permute_tri_array(e0, packed.perm)
+    pe1 = permute_tri_array(e1, packed.perm)
+    tri_rows = tri_rows_pack(pv0, pe0, pe1)
+
+    def f(scale):
+        # scale multiplies a *differentiable* shading weight; the kernel's
+        # discrete outputs (t, index) are constants w.r.t. it
+        t, i = bvh_closest_raw(
+            jnp.asarray(o), jnp.asarray(d),
+            packed.box, packed.meta, tri_rows, interpret=True,
+        )
+        w = jnp.where(t < 1e30, t, 0.0)
+        return jnp.sum(scale * w)
+
+    val, grad = jax.value_and_grad(f)(2.0)
+    t, _ = bvh_closest_raw(
+        jnp.asarray(o), jnp.asarray(d),
+        packed.box, packed.meta, tri_rows, interpret=True,
+    )
+    expect = float(jnp.sum(jnp.where(t < 1e30, t, 0.0)))
+    assert abs(float(grad) - expect) < 1e-3 * max(1.0, abs(expect))

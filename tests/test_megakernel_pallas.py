@@ -76,10 +76,6 @@ def test_supported_predicate(scene):
     assert not pallas_megakernel_supported(
         scene, dataclasses.replace(cfg, env_nee=True)
     )
-    # textured / BVH scenes → unsupported
-    assert not pallas_megakernel_supported(
-        scene._replace(bvh=object()), cfg
-    )
 
 
 def test_resolve_fused(scene):
@@ -89,6 +85,37 @@ def test_resolve_fused(scene):
         resolve_fused(
             scene, MegakernelConfig(fused="on", sampler="halton")
         )
+
+
+def test_fused_bvh_matches_xla_integrator():
+    """r4: the fused kernel's in-kernel packet-BVH traversal (mesh
+    Cornell, 8-ray-row tiles) agrees with the XLA BVH wavefront."""
+    from cuda_optix_pathtracing_tpu.scene.procedural import cornell_box_mesh
+
+    w = h = 32
+    scene_m = cornell_box_mesh(w, h, subdiv=8, use_bvh=True)
+    assert scene_m.bvh is not None
+    cfg = MegakernelConfig(
+        max_depth=3, remat=False, backend="xla", sort_rays="off",
+        pixel_order="linear",
+    )
+    assert pallas_megakernel_supported(scene_m, cfg)
+    acc_x = acc_f = 0.0
+    for k in range(2):
+        samp = jnp.uint32(k)
+        px, py, o, d = _camera_rays(scene_m, w, h, samp)
+        acc_x = acc_x + np.asarray(
+            trace_paths(scene_m, cfg, px, py, samp, o, d)
+        )
+        acc_f = acc_f + np.asarray(
+            trace_paths_fused(
+                scene_m, px, py, samp, o, d, max_depth=3, interpret=True
+            )
+        )
+    assert np.isfinite(acc_f).all()
+    diff = np.abs(acc_x - acc_f) / 2.0
+    assert diff.mean() < 1e-4
+    assert (diff.max(-1) > 1e-3).mean() < 0.005
 
 
 def test_fused_deterministic(scene):

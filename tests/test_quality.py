@@ -27,13 +27,23 @@ def _ref_downscaled(size):
 
 
 def test_cornell_rmse_trend():
-    """32²@8spp must stay within noise of the calibrated full-res score.
+    """64²@8spp must stay within noise of the calibrated full-res score.
 
-    Calibration (this repo, CPU): 64²@8spp → 0.182; 256²@512spp (TPU) →
-    0.178. Threshold 0.26 catches estimator regressions (broken MIS/NEE/RR
-    ≈ +0.05 or worse) while tolerating low-spp Monte-Carlo noise.
+    Calibration (r4, CPU XLA path, 64²@8spp): correct estimator 0.1792;
+    256²@512spp (TPU) 0.178. Mutation study (deliberately broken
+    estimators, measured): dropping the env miss contribution → 0.2316
+    (CAUGHT at 0.21); RR kill without survivor reweighting → 0.184
+    (borderline — shows as a trend, not a single-run trip). Known limit,
+    also measured: the gate CANNOT catch over-brightening (NEE×1.3 →
+    0.1637, NEE×2 → 0.1403 — *closer* to Cycles), because the Cycles
+    blend lights the box with an area emitter while the procedural scene
+    mirrors the reference cornellBox's spot light, leaving our render
+    systematically darker than the reference image. Brightness-direction
+    regressions are instead covered by the estimator-equality tests
+    (fused-vs-XLA, env-NEE-vs-bsdf) which compare our own paths against
+    each other.
     """
-    size, spp = 32, 8
+    size, spp = 64, 8
     scene = cornell_box(size, size)
     cfg = MegakernelConfig(
         max_depth=5, remat=False,
@@ -42,7 +52,24 @@ def test_cornell_rmse_trend():
     film = render(scene, size, size, spp, cfg=cfg, kspp=spp)
     img = np.asarray(srgb_encode(film.mean))
     score = mean_rmse(img, _ref_downscaled(size))
-    assert score < 0.26, f"RMSE vs Cycles regressed: {score:.4f}"
+    assert score < 0.21, f"RMSE vs Cycles regressed: {score:.4f}"
+
+
+def test_cornell_rmse_deep_paths():
+    """Depth-12 spot check: the long-path tail (RR + transmission chains)
+    must not diverge — score stays in the same band as depth 5 (the
+    Cornell box's >5-bounce energy is small but nonzero; a broken RR
+    survival scale inflates it dramatically)."""
+    size, spp = 32, 8
+    scene = cornell_box(size, size)
+    cfg = MegakernelConfig(
+        max_depth=12, remat=False,
+        features=mat_features_from_table(scene.materials),
+    )
+    film = render(scene, size, size, spp, cfg=cfg, kspp=spp)
+    img = np.asarray(srgb_encode(film.mean))
+    score = mean_rmse(img, _ref_downscaled(size))
+    assert score < 0.26, f"depth-12 RMSE vs Cycles regressed: {score:.4f}"
 
 
 def test_rmse_metric_semantics():
