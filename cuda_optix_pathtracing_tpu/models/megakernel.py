@@ -100,6 +100,11 @@ class MegakernelConfig:
     nee_splits: int = 1  # 1|2|4 deterministic root-frontier subtrees, one
     # shadow ray each (reference adaptive split ≤4 budget,
     # core-light-tree-builder.cpp:469-569); tree strategy only
+    texture_filter: str = "trilinear"  # "trilinear" | "ewa": "ewa" adds
+    # bounded-tap anisotropic filtering along the ray-cone footprint's
+    # major axis (ops/texture.sample_ewa; reference EWAFormula,
+    # core-texture.cu:664-731) — sharper at grazing angles, ~5× the
+    # texture fetch cost
     fused: str = "auto"  # "auto" | "on" | "off": the fully-fused Pallas
     # path-loop megakernel (models/megakernel_pallas.py) for supported
     # scenes (Cornell-class: brute force, ON+GGX-dielectric, point/spot,
@@ -320,30 +325,68 @@ def _tree_on(cfg, scene) -> bool:
     return scene.light_tree is not None
 
 
-def _textured_mat(scene: Scene, mat, hit, cone_w):
-    """Override gathered material constants with texture fetches at the
-    hit point (reference materialSample/Eval texture path,
-    core-material.cpp:180-403). No-op for scenes without textures."""
-    if scene.textures is None or scene.tri_uv is None:
-        return mat
-    from ..ops.texture import raycone_lod, sample_trilinear
+def _uv_at_hit(scene: Scene, hit):
+    """Interpolated UV + world-space UV tangents at the hit points.
 
+    Returns (uv (N,2), dpdu (N,3), dpdv (N,3), ok (N,)): with
+    ``p = v0 + u·e0 + v·e1`` and ``uv = uv0 + u·duv1 + v·duv2``,
+    ``dpdu = (dv2·e0 − dv1·e1)/det``, ``dpdv = (du1·e1 − du2·e0)/det``.
+    Shared by normal mapping and EWA footprint construction (reference
+    dpdu/dpdv at core-render.cpp:183-269)."""
     t = scene.tri_uv.shape[0]
     uv3 = onehot_gather(scene.tri_uv.reshape(t, 6), hit.tri).reshape(-1, 3, 2)
     w = (1.0 - hit.u - hit.v)[..., None]
     uv = w * uv3[:, 0] + hit.u[..., None] * uv3[:, 1] + hit.v[..., None] * uv3[:, 2]
+    duv1 = uv3[:, 1] - uv3[:, 0]
+    duv2 = uv3[:, 2] - uv3[:, 0]
+    e0 = onehot_gather(scene.tri_e0, hit.tri)
+    e1 = onehot_gather(scene.tri_e1, hit.tri)
+    det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+    ok = jnp.abs(det) > 1e-12
+    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+    dpdu = (duv2[:, 1:2] * e0 - duv1[:, 1:2] * e1) * inv_det[:, None]
+    dpdv = (duv1[:, 0:1] * e1 - duv2[:, 0:1] * e0) * inv_det[:, None]
+    return uv, dpdu, dpdv, ok
+
+
+def _textured_mat(scene: Scene, cfg, mat, hit, cone_w, wo=None):
+    """Override gathered material constants with texture fetches at the
+    hit point (reference materialSample/Eval texture path,
+    core-material.cpp:180-403). No-op for scenes without textures.
+
+    ``cfg.texture_filter == "ewa"`` uses the bounded-tap anisotropic
+    filter (ops/texture.sample_ewa, reference EWAFormula
+    core-texture.cu:664-731) with the footprint ellipse from the ray
+    cone's grazing-angle projection; trilinear otherwise."""
+    if scene.textures is None or scene.tri_uv is None:
+        return mat
+    from ..ops.texture import (
+        cone_ellipse_uv,
+        raycone_lod,
+        sample_ewa,
+        sample_trilinear,
+    )
+
+    uv, dpdu, dpdv, _ = _uv_at_hit(scene, hit)
     dens = onehot_gather(scene.tri_uvdens[:, None], hit.tri)[:, 0]
+    use_ewa = cfg.texture_filter == "ewa" and wo is not None
+    if use_ewa:
+        duv_major, _minor = cone_ellipse_uv(
+            cone_w, dens, wo, hit.normal, dpdu, dpdv
+        )
+
+    def fetch(tid):
+        lod = raycone_lod(scene.textures, tid, cone_w, dens)
+        if use_ewa:
+            return sample_ewa(scene.textures, tid, uv, duv_major, lod)
+        return sample_trilinear(scene.textures, tid, uv, lod)
 
     has_alb = mat.albedo_tex >= 0
-    tid_a = jnp.maximum(mat.albedo_tex, 0)
-    lod_a = raycone_lod(scene.textures, tid_a, cone_w, dens)
-    albedo_t = sample_trilinear(scene.textures, tid_a, uv, lod_a)
+    albedo_t = fetch(jnp.maximum(mat.albedo_tex, 0))
     albedo = jnp.where(has_alb[..., None], albedo_t, mat.albedo)
 
     has_r = mat.rough_tex >= 0
-    tid_r = jnp.maximum(mat.rough_tex, 0)
-    lod_r = raycone_lod(scene.textures, tid_r, cone_w, dens)
-    rough = sample_trilinear(scene.textures, tid_r, uv, lod_r)[:, 0]
+    rough = fetch(jnp.maximum(mat.rough_tex, 0))[:, 0]
     alpha = sqr(rough)
     alphax = jnp.where(has_r, alpha, mat.alphax)
     alphay = jnp.where(has_r, alpha, mat.alphay)
@@ -368,19 +411,7 @@ def _normal_mapped(scene: Scene, mat, hit, ns, cone_w):
         return ns
     from ..ops.texture import raycone_lod, sample_trilinear
 
-    t = scene.tri_uv.shape[0]
-    uv3 = onehot_gather(scene.tri_uv.reshape(t, 6), hit.tri).reshape(-1, 3, 2)
-    w = (1.0 - hit.u - hit.v)[..., None]
-    uv = w * uv3[:, 0] + hit.u[..., None] * uv3[:, 1] + hit.v[..., None] * uv3[:, 2]
-    duv1 = uv3[:, 1] - uv3[:, 0]
-    duv2 = uv3[:, 2] - uv3[:, 0]
-    e0 = onehot_gather(scene.tri_e0, hit.tri)
-    e1 = onehot_gather(scene.tri_e1, hit.tri)
-    det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
-    ok_uv = jnp.abs(det) > 1e-12
-    inv_det = 1.0 / jnp.where(ok_uv, det, 1.0)
-    dpdu = (duv2[:, 1:2] * e0 - duv1[:, 1:2] * e1) * inv_det[:, None]
-    dpdv = (duv1[:, 0:1] * e1 - duv2[:, 0:1] * e0) * inv_det[:, None]
+    uv, dpdu, dpdv, ok_uv = _uv_at_hit(scene, hit)
 
     has_nm = mat.normal_tex >= 0
     tid = jnp.maximum(mat.normal_tex, 0)
@@ -689,7 +720,7 @@ def bounce_step(scene: Scene, cfg, sampler, px, py, sample, depth, state: PathSt
     # the hit drives the texture mip selection
     cone_at_hit = state.cone_w + state.cone_s * jnp.abs(hit.t)
     mat = scene.materials.gather(onehot_gather(scene.tri_mat, hit.tri))
-    mat = _textured_mat(scene, mat, hit, cone_at_hit)
+    mat = _textured_mat(scene, cfg, mat, hit, cone_at_hit, wo=wo)
     ns = _shading_normal(scene, hit)
     ns = _normal_mapped(scene, mat, hit, ns, cone_at_hit)
 
@@ -845,7 +876,7 @@ def render_sample_batch(scene: Scene, cfg: MegakernelConfig, width, height, samp
         radiance = trace_paths_fused(
             scene, px, py, sample, o, d,
             max_depth=cfg.max_depth, rr_start_depth=cfg.rr_start_depth,
-            seed=cfg.seed,
+            seed=cfg.seed, conductor=cfg.features.conductor,
         )
     else:
         radiance = trace_paths(scene, cfg, px, py, sample, o, d)

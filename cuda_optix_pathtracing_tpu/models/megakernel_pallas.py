@@ -13,13 +13,19 @@ per-fusion overhead plus HBM traffic of intermediate path state dominate
 hand removes both.
 
 Scope (statically checked, falls back to the XLA integrator otherwise):
-- brute-force triangle sweep (no BVH — Cornell-class scenes below
-  BVH_THRESHOLD; this is exactly the reference megakernel's scope)
-- materials: Oren-Nayar (multiscatter) + GGX dielectric
+- brute-force triangle sweep (Cornell-class scenes below BVH_THRESHOLD,
+  the reference megakernel's scope) OR in-kernel packet-BVH traversal
+  (r4; ops/bvh_pallas.tile_traverse — mesh scenes, auto-policy still
+  prefers the re-sorting XLA wavefront for these, see resolve_fused)
+- materials: Oren-Nayar (multiscatter), GGX dielectric
   (reflection/transmission, anisotropy, delta case, Kulla-Conty energy
-  compensation via the polynomial E/Eavg fits from ops/bsdf.py)
-- lights: point/spot rows, uniform 1/L NEE selection (no emissive
-  geometry, no light tree, no envmap NEE)
+  compensation via the polynomial E/Eavg fits from ops/bsdf.py), and
+  GGX conductor (r4: RGB conductor Fresnel + F82-tint multiscatter)
+- lights: point/spot rows + AREA rows (r4: emissive-triangle NEE by
+  area-weighted CDF with one-sample power-heuristic MIS, and
+  direct-emitter-hit MIS via carried prev_pdf/prev_delta — the
+  cornell-box.pbrt class), uniform 1/L selection (no light tree, no
+  envmap NEE)
 - constant environment on miss
 - hash (pcg4d) sampler — identical keying to ops/rng.py, so images
   agree with the XLA integrator up to float reassociation
@@ -44,6 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.bsdf import (
     DELTA_ALPHA,
+    GGX_CONDUCTOR,
     GGX_DIELECTRIC,
     OREN_NAYAR,
     THROUGHPUT_EPS,
@@ -272,6 +279,26 @@ def ggx_aniso_lambda(ax, ay, vx, vy, vz):
     return ggx_lambda_from_sqr_alpha_tan(s)
 
 
+def fresnel_conductor_c(cos_i, e, k):
+    """Single-channel conductor Fresnel (ops/bsdf.py fresnel_conductor,
+    reference bsdf.cuh:205-224); all args broadcastable planes/scalars."""
+    cos_i = jnp.clip(cos_i, -1.0, 1.0)
+    cos2 = cos_i * cos_i
+    sin2 = 1.0 - cos2
+    e2 = e * e
+    k2 = k * k
+    t0 = e2 - k2 - sin2
+    a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * e2 * k2, 0.0))
+    t1 = a2b2 + cos2
+    a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 0.0))
+    t2 = 2.0 * cos_i * a
+    rs = (t1 - t2) / jnp.maximum(t1 + t2, 1e-12)
+    t3 = cos2 * a2b2 + sin2 * sin2
+    t4 = t2 * sin2
+    rp = rs * (t3 - t4) / jnp.maximum(t3 + t4, 1e-12)
+    return 0.5 * (rp + rs)
+
+
 def fresnel_dielectric(cos_i, eta):
     cos_i = jnp.clip(cos_i, 0.0, 1.0)
     sin_i = safe_sqrt(1.0 - sqr(cos_i))
@@ -362,8 +389,8 @@ def oren_nayar_g(cos_theta):
 # ---------------------------------------------------------------------------
 
 # material table rows (f32): mtype, albedo xyz, on_sigma, alphax, alphay,
-# phi0, eta, refl xyz, trans xyz
-MAT_ROWS = 15
+# phi0, eta, refl xyz, trans xyz, cond_eta xyz, cond_k xyz, emission xyz
+MAT_ROWS = 24
 
 
 def _fetch_material(mat_tab, mat_id, n_mats):
@@ -383,9 +410,11 @@ def _fetch_material(mat_tab, mat_id, n_mats):
 
 def _pt_kernel(
     use_bvh: bool,
+    use_cond: bool,  # scene has GGX-conductor rows (static specialization)
     n_tris: int,
     n_mats: int,
     n_lights: int,
+    n_emissive: int,  # 0 = scene has no area-light triangles
     max_depth: int,
     rr_start_depth: int,
     e_coeffs,  # (coef2d np, coef1d np, deg) baked as Python constants
@@ -395,12 +424,12 @@ def _pt_kernel(
     coef2d, coef1d, deg = e_coeffs
     if use_bvh:
         (ox, oy, oz, dx, dy, dz, pxr, pyr, smp,
-         nodemeta, mat_tab, light_tab, env,
+         nodemeta, mat_tab, light_tab, env, em_tab,
          tri, nodebox, lr, lg, lb, stack) = refs
         mat_id_tab = None
     else:
         (ox, oy, oz, dx, dy, dz, pxr, pyr, smp,
-         tri, mat_id_tab, mat_tab, light_tab, env,
+         tri, mat_id_tab, mat_tab, light_tab, env, em_tab,
          lr, lg, lb) = refs
 
     o = (ox[...], oy[...], oz[...])
@@ -608,11 +637,25 @@ def _pt_kernel(
         bs_delta, bs_refract).
         """
         (mtype, alb_r, alb_g, alb_b, on_sigma, ax, ay, phi0, eta0,
-         rt_r, rt_g, rt_b, tt_r, tt_g, tt_b) = mat
-        is_ggx = mtype >= 0.5  # OREN_NAYAR=0 / GGX_DIELECTRIC=1
+         rt_r, rt_g, rt_b, tt_r, tt_g, tt_b,
+         ce_r, ce_g, ce_b, ck_r, ck_g, ck_b, _em_r, _em_g, _em_b) = mat
+        # OREN_NAYAR=0 / GGX_DIELECTRIC=1 / GGX_CONDUCTOR=2 / LAMBERT=3
+        # (LAMBERT rides the Oren-Nayar path: Fujii ON with σ=0 is
+        # exactly albedo·cos/π, and its multiscatter term vanishes)
+        is_ggx = (mtype >= 0.5) & (mtype <= 2.5)
+        is_cond = (mtype >= 1.5) & (mtype <= 2.5)
         albedo = (alb_r, alb_g, alb_b)
         refl_tint = (rt_r, rt_g, rt_b)
-        trans_tint = (tt_r, tt_g, tt_b)
+        if use_cond:
+            # conductors never transmit (make_material_table defaults
+            # keep trans_tint zero on conductor rows; enforce anyway)
+            trans_tint = tuple(
+                jnp.where(is_cond, 0.0, t) for t in (tt_r, tt_g, tt_b)
+            )
+        else:
+            trans_tint = (tt_r, tt_g, tt_b)
+        ce = (ce_r, ce_g, ce_b)
+        ck = (ck_r, ck_g, ck_b)
 
         cos_no = vdot(ns, wo)
 
@@ -660,13 +703,27 @@ def _pt_kernel(
         y_axis = vcross(ns, x_axis)
         lo = (vdot(x_axis, wo), vdot(y_axis, wo), cos_no)
 
-        # multiscatter factor (Fss = trans_tint for the dielectric)
+        # multiscatter factor: Fss = trans_tint (dielectric) | F82-tint
+        # fit (conductor) — ops/bsdf.py ggx_multiscatter_factor parity
         e_tab = _poly_e(coef2d, deg, cos_no, alpha2)
         eavg = _poly_eavg(coef1d, deg, alpha2)
         missing = (1.0 - e_tab) / e_tab
+        if use_cond:
+            one = jnp.ones(shape, jnp.float32)
+            fss = []
+            for c in range(3):
+                f0_c = fresnel_conductor_c(one, ce[c], ck[c])
+                f82_c = fresnel_conductor_c(one * (1.0 / 7.0), ce[c], ck[c])
+                b_c = (
+                    (f0_c + (1.0 - f0_c) * 0.46266436) - f82_c
+                ) * 17.651384
+                fss_c = (f0_c + (1.0 - f0_c) / 21.0) - b_c * (1.0 / 126.0)
+                fss.append(jnp.where(is_cond, fss_c, trans_tint[c]))
+        else:
+            fss = list(trans_tint)
         ms_fac = tuple(
             1.0
-            + (trans_tint[c] * eavg / jnp.maximum(1.0 - trans_tint[c] * (1.0 - eavg), 1e-4))
+            + (fss[c] * eavg / jnp.maximum(1.0 - fss[c] * (1.0 - eavg), 1e-4))
             * missing
             for c in range(3)
         )
@@ -681,7 +738,17 @@ def _pt_kernel(
         h_l = vwhere(vdot(h_l, ns) < 0.0, vneg(h_l), h_l)
         cos_ho_l = vdot(h_l, wo)
         f_diel_l, _ = fresnel_dielectric(cos_ho_l, eta_eff)
-        refl_l = fresnel_tuple(f_diel_l, refl_tint)
+        if use_cond:
+            refl_l = tuple(
+                jnp.where(
+                    is_cond,
+                    fresnel_conductor_c(cos_ho_l, ce[c], ck[c]),
+                    f_diel_l * refl_tint[c],
+                )
+                for c in range(3)
+            )
+        else:
+            refl_l = fresnel_tuple(f_diel_l, refl_tint)
         trans_l = fresnel_tuple(1.0 - f_diel_l, trans_tint)
         cos_nh_l = vdot(ns, h_l)
         d_iso_l = ggx_d(alpha2, cos_nh_l)
@@ -720,8 +787,12 @@ def _pt_kernel(
         f_ggx_l = tuple(f_sel[c] * g2_l for c in range(3))
         avg_rt = (refl_tint[0] + refl_tint[1] + refl_tint[2]) / 3.0
         avg_tt = (trans_tint[0] + trans_tint[1] + trans_tint[2]) / 3.0
-        has_refl = avg_rt > THROUGHPUT_EPS
-        has_trans = avg_tt > THROUGHPUT_EPS
+        if use_cond:
+            has_refl = (avg_rt > THROUGHPUT_EPS) | is_cond
+            has_trans = (avg_tt > THROUGHPUT_EPS) & ~is_cond
+        else:
+            has_refl = avg_rt > THROUGHPUT_EPS
+            has_trans = avg_tt > THROUGHPUT_EPS
         cos_ngi_l = cos_ni_l  # ns == ng in this kernel (flat shading)
         ggx_bad_l = (
             (cos_no <= 0.0)
@@ -753,7 +824,17 @@ def _pt_kernel(
         lh_sz = jnp.where(is_delta, 1.0, lh_s[2])
         cos_ho_s = vdot(h_s, wo)
         f_diel_s, cos_hi_s = fresnel_dielectric(cos_ho_s, eta_eff)
-        refl_s = fresnel_tuple(f_diel_s, refl_tint)
+        if use_cond:
+            refl_s = tuple(
+                jnp.where(
+                    is_cond,
+                    fresnel_conductor_c(cos_ho_s, ce[c], ck[c]),
+                    f_diel_s * refl_tint[c],
+                )
+                for c in range(3)
+            )
+        else:
+            refl_s = fresnel_tuple(f_diel_s, refl_tint)
         trans_s = fresnel_tuple(1.0 - f_diel_s, trans_tint)
         avg_refl_s = (refl_s[0] + refl_s[1] + refl_s[2]) / 3.0
         avg_trans_s = (trans_s[0] + trans_s[1] + trans_s[2]) / 3.0
@@ -891,7 +972,10 @@ def _pt_kernel(
         use_cone = is_spot & outside & ~toward_apex
         dvec = vwhere(use_cone, d_cone, dvec)
         pdf = jnp.where(use_cone, jnp.where(hit_s, pdf_cone, 0.0), pdf)
-        delta = jnp.where(use_cone, delta_cone & hit_s, delta)
+        # logical form, not jnp.where: an i1-select of booleans lowers to
+        # an i8→i1 trunci Mosaic cannot compile (surfaced r4 when the
+        # prev_delta carry joined the loop)
+        delta = (use_cone & delta_cone & hit_s) | (~use_cone & delta)
         distance = jnp.where(use_cone, t_s, distance)
         p_light = vwhere(use_cone, p_s, p_light)
 
@@ -900,7 +984,7 @@ def _pt_kernel(
         factor = jnp.where(is_spot, att, jnp.ones(shape, jnp.float32))
         pdf = jnp.where(is_spot & (att <= 0.0), 0.0, pdf)
         eff_delta = is_spot & ((radius / dist) < 1e-3) & (pdf > 0.0)
-        delta = jnp.where(eff_delta, True, delta)
+        delta = delta | eff_delta
         pdf = jnp.where(eff_delta, 1.0, pdf)
         # re-project onto the sphere
         spot_like = is_spot & (pdf > 0.0)
@@ -919,9 +1003,11 @@ def _pt_kernel(
         return dvec, distance, pdf, le
 
     def bounce(depth, carry):
-        o, d, beta, radiance, alive_i, inside_i, eta_scale = carry
+        (o, d, beta, radiance, alive_i, inside_i, eta_scale,
+         prev_pdf, prev_delta_i) = carry
         alive = alive_i > 0
         inside = inside_i > 0
+        prev_delta = prev_delta_i > 0
         depth_dim = depth.astype(U32) * U32(24)  # DIMS_PER_BOUNCE
 
         hit, t_hit, mat_id, pos, ng, err = closest_hit(o, d, alive)
@@ -937,6 +1023,28 @@ def _pt_kernel(
 
         wo = vneg(d)
         mat = tuple(_fetch_material(mat_tab, mat_id, n_mats))
+        pmf = 1.0 / float(n_lights)
+
+        if n_emissive:
+            # directly-hit emitter, MIS vs the area-NEE estimator
+            # (bounce_step parity; two-sided emission). NEE density for
+            # hitting THIS point = pmf · dist²/(cosθ·total_area).
+            area_tot = em_tab[14, 0]
+            cos_l = jnp.abs(vdot(d, ng))
+            pdf_hit = (
+                sqr(t_hit) / jnp.maximum(cos_l * area_tot, 1e-12) * pmf
+            )
+            w_em = jnp.where(
+                prev_delta,
+                1.0,
+                sqr(prev_pdf)
+                / jnp.maximum(sqr(prev_pdf) + sqr(pdf_hit), 1e-24),
+            )
+            radiance = tuple(
+                radiance[c]
+                + jnp.where(alive, beta[c] * mat[21 + c] * w_em, 0.0)
+                for c in range(3)
+            )
 
         # --- NEE: uniform light pick (megakernel.cu:176 / _nee parity) ---
         ul = rng_1d(px, py, sample_seed, depth_dim + U32(2))  # LIGHT_SELECT
@@ -952,21 +1060,85 @@ def _pt_kernel(
         ldir, ldist, lpdf, le = sample_point_spot(
             tuple(lrow), pos, ng, u1l, u2l
         )
+        is_area = lrow[0] > 3.5  # AREA = 4
+        if n_emissive:
+            # area rows: uniform-by-area sample of the emissive set
+            # (ops/lights.py sample_area_light parity)
+            cdf_sel = [jnp.zeros(shape, jnp.float32) for _ in range(14)]
+            for k in range(n_emissive):
+                clo = em_tab[12, k]
+                chi = em_tab[13, k]
+                if k == n_emissive - 1:
+                    sel = u1l >= clo  # closed last bin (u1 == 1.0)
+                else:
+                    sel = (u1l >= clo) & (u1l < chi)
+                for r in range(14):
+                    cdf_sel[r] = jnp.where(sel, em_tab[r, k], cdf_sel[r])
+            tv0 = (cdf_sel[0], cdf_sel[1], cdf_sel[2])
+            te0 = (cdf_sel[3], cdf_sel[4], cdf_sel[5])
+            te1 = (cdf_sel[6], cdf_sel[7], cdf_sel[8])
+            trad = (cdf_sel[9], cdf_sel[10], cdf_sel[11])
+            du = (u1l - cdf_sel[12]) / jnp.maximum(
+                cdf_sel[13] - cdf_sel[12], 1e-12
+            )
+            su = safe_sqrt(du)
+            b1 = 1.0 - su
+            b2 = u2l * su
+            p_em = vadd(vadd(tv0, vscale(te0, b1)), vscale(te1, b2))
+            n_e = vcross(te0, te1)
+            n_len = jnp.maximum(
+                jnp.sqrt(jnp.maximum(vdot(n_e, n_e), 0.0)), 1e-12
+            )
+            n_e = vscale(n_e, 1.0 / n_len)
+            to_p = vsub(p_em, pos)
+            dist_sqr = jnp.maximum(vdot(to_p, to_p), 1e-12)
+            dist_a = jnp.sqrt(dist_sqr)
+            d_a = vscale(to_p, 1.0 / dist_a)
+            cos_e = jnp.abs(vdot(d_a, n_e))  # two-sided emission
+            area_tot = em_tab[14, 0]
+            pdf_a = jnp.where(
+                cos_e > 1e-6,
+                dist_sqr / jnp.maximum(cos_e * area_tot, 1e-12),
+                0.0,
+            )
+            le_a = tuple(
+                jnp.where(cos_e > 1e-6, trad[c], 0.0) for c in range(3)
+            )
+            ldir = vwhere(is_area, d_a, ldir)
+            ldist = jnp.where(is_area, dist_a * 0.999, ldist)
+            lpdf = jnp.where(is_area, pdf_a, lpdf)
+            le = tuple(
+                jnp.where(is_area, le_a[c], le[c]) for c in range(3)
+            )
 
         u1b, u2b = rng_2d(px, py, sample_seed, depth_dim + U32(5))  # BSDF_U
         ucb = rng_1d(px, py, sample_seed, depth_dim + U32(7))  # BSDF_UC
 
-        (f_l, _pdf_l, bs_wi, bs_f, bs_pdf, bs_eta, bs_delta, bs_refract
+        (f_l, pdf_l, bs_wi, bs_f, bs_pdf, bs_eta, bs_delta, bs_refract
          ) = eval_and_sample(mat, wo, ng, inside, ldir, u1b, u2b, ucb)
 
         shadow_o = offset_origin(pos, err, ng, ldir)
         occluded = any_hit(shadow_o, ldir, ldist, alive)
-        pmf = 1.0 / float(n_lights)
         ok = (lpdf > 0.0) & ~occluded & alive
+        # point/spot rows: NEE-only delta-ish emitters → le·f/pmf.
+        # area rows: scene geometry → one-sample power-heuristic MIS on
+        # the full density pmf·pdf (bounce_step/_nee parity).
+        nee_scale = jnp.full(shape, 1.0 / pmf)
+        if n_emissive:
+            pdf_tot = lpdf * pmf
+            w_a = sqr(pdf_tot) / jnp.maximum(
+                sqr(pdf_tot) + sqr(pdf_l), 1e-24
+            )
+            nee_scale = jnp.where(
+                is_area, w_a / jnp.maximum(pdf_tot, 1e-12), nee_scale
+            )
         radiance = (
-            radiance[0] + jnp.where(ok, beta[0] * le[0] * f_l[0] / pmf, 0.0),
-            radiance[1] + jnp.where(ok, beta[1] * le[1] * f_l[1] / pmf, 0.0),
-            radiance[2] + jnp.where(ok, beta[2] * le[2] * f_l[2] / pmf, 0.0),
+            radiance[0]
+            + jnp.where(ok, beta[0] * le[0] * f_l[0] * nee_scale, 0.0),
+            radiance[1]
+            + jnp.where(ok, beta[1] * le[1] * f_l[1] * nee_scale, 0.0),
+            radiance[2]
+            + jnp.where(ok, beta[2] * le[2] * f_l[2] * nee_scale, 0.0),
         )
 
         # --- bounce ---
@@ -998,12 +1170,20 @@ def _pt_kernel(
 
         o = vwhere(alive, o_new, o)
         d = vwhere(alive, bs_wi, d)
+        prev_pdf = jnp.where(alive, bs_pdf, prev_pdf)
+        prev_delta = (alive & bs_delta) | (~alive & prev_delta)
         return (
             o, d, beta, radiance,
             alive.astype(jnp.int32), inside.astype(jnp.int32), eta_scale,
+            prev_pdf, prev_delta.astype(jnp.int32),
         )
 
-    carry = (o, d, beta, radiance, alive_i, inside_i, eta_scale)
+    prev_pdf0 = jnp.ones(shape, jnp.float32)
+    prev_delta0 = jnp.ones(shape, jnp.int32)  # camera counts as delta
+    carry = (
+        o, d, beta, radiance, alive_i, inside_i, eta_scale,
+        prev_pdf0, prev_delta0,
+    )
     carry = lax.fori_loop(0, max_depth, bounce, carry)
     radiance = carry[3]
     lr[...] = radiance[0]
@@ -1027,7 +1207,7 @@ def pallas_megakernel_supported(scene: Scene, cfg) -> bool:
         return False
     if scene.bvh is not None and scene.bvh.meta.nbytes > 255 * 1024:
         return False
-    if scene.emissive is not None or scene.light_tree is not None:
+    if scene.light_tree is not None:
         return False
     if scene.tri_ns is not None:
         return False
@@ -1035,12 +1215,16 @@ def pallas_megakernel_supported(scene: Scene, cfg) -> bool:
         return False
     if getattr(cfg, "light_strategy", "auto") == "tree":
         return False
+    from ..ops.bsdf import LAMBERT
+
     mtypes = set(np.asarray(scene.materials.mtype).tolist())
-    if not mtypes <= {OREN_NAYAR, GGX_DIELECTRIC}:
+    if not mtypes <= {OREN_NAYAR, GGX_DIELECTRIC, GGX_CONDUCTOR, LAMBERT}:
         return False
     ltypes = set(np.asarray(scene.lights.ltype).tolist())
-    if not ltypes <= {0, 1}:  # POINT, SPOT
+    if not ltypes <= {0, 1, 4}:  # POINT, SPOT, AREA (r4)
         return False
+    if scene.emissive is not None and scene.emissive.v0.shape[0] > 64:
+        return False  # emissive set streams from SMEM as scalar selects
     # constant env only (all texels equal — constant_envmap broadcasts
     # the color to a (32,1,3) map)
     img = np.asarray(scene.env.image).reshape(-1, 3)
@@ -1050,7 +1234,8 @@ def pallas_megakernel_supported(scene: Scene, cfg) -> bool:
 
 
 def _shade_tables(scene: Scene):
-    """SMEM tables: materials (15,M), lights (13,L), env color (3,)."""
+    """SMEM tables: materials (24,M), lights (13,L), env color (3,),
+    emissive triangles (15, max(K,1)) [v0|e0|e1|rad|cdf_lo|cdf_hi|area]."""
     m = scene.materials
     mat_tab = jnp.stack(
         [
@@ -1059,9 +1244,12 @@ def _shade_tables(scene: Scene):
             m.on_sigma, m.alphax, m.alphay, m.phi0, m.eta,
             m.refl_tint[:, 0], m.refl_tint[:, 1], m.refl_tint[:, 2],
             m.trans_tint[:, 0], m.trans_tint[:, 1], m.trans_tint[:, 2],
+            m.cond_eta[:, 0], m.cond_eta[:, 1], m.cond_eta[:, 2],
+            m.cond_k[:, 0], m.cond_k[:, 1], m.cond_k[:, 2],
+            m.emission[:, 0], m.emission[:, 1], m.emission[:, 2],
         ],
         axis=0,
-    )[:15]
+    )[:MAT_ROWS]
     lt = scene.lights
     light_tab = jnp.stack(
         [
@@ -1074,7 +1262,19 @@ def _shade_tables(scene: Scene):
         axis=0,
     )
     env_color = scene.env.image.reshape(-1, 3)[0] * scene.env.scale
-    return mat_tab, light_tab, env_color
+    if scene.emissive is not None:
+        em = scene.emissive
+        em_tab = jnp.concatenate(
+            [
+                em.v0.T, em.e0.T, em.e1.T, em.rad.T,
+                em.cdf[:-1][None, :], em.cdf[1:][None, :],
+                jnp.broadcast_to(em.area, (1, em.v0.shape[0])),
+            ],
+            axis=0,
+        )  # (15, K)
+    else:
+        em_tab = jnp.zeros((15, 1), jnp.float32)
+    return mat_tab, light_tab, env_color, em_tab
 
 
 def _scene_tables(scene: Scene):
@@ -1087,13 +1287,15 @@ def _scene_tables(scene: Scene):
         ],
         axis=0,
     )
-    mat_tab, light_tab, env_color = _shade_tables(scene)
-    return tri, scene.tri_mat, mat_tab, light_tab, env_color
+    mat_tab, light_tab, env_color, em_tab = _shade_tables(scene)
+    return tri, scene.tri_mat, mat_tab, light_tab, env_color, em_tab
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_depth", "rr_start_depth", "seed", "interpret"),
+    static_argnames=(
+        "max_depth", "rr_start_depth", "seed", "interpret", "conductor",
+    ),
 )
 def trace_paths_fused(
     scene: Scene,
@@ -1106,6 +1308,8 @@ def trace_paths_fused(
     rr_start_depth: int = 2,
     seed: int = 0,
     interpret: bool = False,
+    conductor: bool = True,  # static: emit the GGX-conductor code path
+    # (pass cfg.features.conductor to specialize it away)
 ):
     """Fused-path-loop radiance for rays (o, d) — drop-in for
     megakernel.trace_paths on supported scenes (forward only)."""
@@ -1137,13 +1341,18 @@ def trace_paths_fused(
     )
     if use_bvh:
         tri, mat_ids = None, None
-        mat_tab, light_tab, env_color = _shade_tables(scene)
+        mat_tab, light_tab, env_color, em_tab = _shade_tables(scene)
         n_tris = scene.tri_v0.shape[0]
     else:
-        tri, mat_ids, mat_tab, light_tab, env_color = _scene_tables(scene)
+        tri, mat_ids, mat_tab, light_tab, env_color, em_tab = _scene_tables(
+            scene
+        )
         n_tris = tri.shape[1]
     n_mats = mat_tab.shape[1]
     n_lights = light_tab.shape[1]
+    n_emissive = (
+        scene.emissive.v0.shape[0] if scene.emissive is not None else 0
+    )
 
     grid = rows // block_rows
     ray_spec = pl.BlockSpec(
@@ -1155,9 +1364,11 @@ def trace_paths_fused(
     kern = functools.partial(
         _pt_kernel,
         use_bvh,
+        conductor,
         n_tris,
         n_mats,
         n_lights,
+        n_emissive,
         max_depth,
         rr_start_depth,
         (np.asarray(e_coeffs[0]), np.asarray(e_coeffs[1]), e_coeffs[2]),
@@ -1170,7 +1381,7 @@ def trace_paths_fused(
         out = pl.pallas_call(
             kern,
             grid=(grid,),
-            in_specs=[ray_spec] * 9 + [smem] * 4 + [full] * 2,
+            in_specs=[ray_spec] * 9 + [smem] * 5 + [full] * 2,
             out_specs=[ray_spec] * 3,
             out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 3,
             scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
@@ -1182,14 +1393,14 @@ def trace_paths_fused(
             ),
             interpret=interpret,
         )(
-            *planes, scene.bvh.meta, mat_tab, light_tab, env_color,
+            *planes, scene.bvh.meta, mat_tab, light_tab, env_color, em_tab,
             tri_pack, scene.bvh.box,
         )
     else:
         out = pl.pallas_call(
             kern,
             grid=(grid,),
-            in_specs=[ray_spec] * 9 + [smem] * 5,
+            in_specs=[ray_spec] * 9 + [smem] * 6,
             out_specs=[ray_spec] * 3,
             out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 3,
             cost_estimate=pl.CostEstimate(
@@ -1198,6 +1409,6 @@ def trace_paths_fused(
                 transcendentals=int(rows) * LANES * max_depth * 12,
             ),
             interpret=interpret,
-        )(*planes, tri, mat_ids, mat_tab, light_tab, env_color)
+        )(*planes, tri, mat_ids, mat_tab, light_tab, env_color, em_tab)
     radiance = jnp.stack([p.reshape(-1)[:n] for p in out], axis=-1)
     return radiance

@@ -186,6 +186,67 @@ def sample_trilinear(pool: TexturePool, tex_id, uv, lod):
     return c0 * (1 - f) + c1 * f
 
 
+MAX_ANISO = 8.0  # reference EWA anisotropy clamp (core-texture.cu:563-731)
+EWA_TAPS = 5
+
+
+def cone_ellipse_uv(cone_w, density, wo, ng, dpdu, dpdv):
+    """UV-space footprint ellipse of a ray cone hitting a surface at
+    grazing incidence (the anisotropy source the reference feeds EWA
+    from ray differentials, core-texture.h:47-113).
+
+    The cone's surface footprint has minor half-width ``cone_w/2``
+    perpendicular to the view's tangent projection and major half-width
+    ``cone_w/(2·cosθ)`` along it. Both axes map to UV through the
+    pseudo-inverse of [dpdu dpdv]. Returns (duv_major (N,2),
+    minor_len (N,)) with the anisotropy ratio clamped to MAX_ANISO.
+    """
+    cos_t = jnp.abs(jnp.sum(wo * ng, axis=-1))
+    t_view = wo - ng * jnp.sum(wo * ng, axis=-1, keepdims=True)
+    t_len = jnp.sqrt(jnp.maximum(jnp.sum(t_view * t_view, axis=-1), 1e-20))
+    # normal incidence: direction is arbitrary, ratio → 1 anyway
+    t_view = t_view / t_len[..., None]
+    ratio = jnp.clip(1.0 / jnp.maximum(cos_t, 1.0 / MAX_ANISO), 1.0, MAX_ANISO)
+
+    # world→UV via the 2×2 Gram inverse of the tangent basis
+    guu = jnp.sum(dpdu * dpdu, axis=-1)
+    guv = jnp.sum(dpdu * dpdv, axis=-1)
+    gvv = jnp.sum(dpdv * dpdv, axis=-1)
+    det = jnp.maximum(guu * gvv - guv * guv, 1e-20)
+    bu = jnp.sum(t_view * dpdu, axis=-1)
+    bv = jnp.sum(t_view * dpdv, axis=-1)
+    du = (gvv * bu - guv * bv) / det
+    dv = (guu * bv - guv * bu) / det
+    dir_uv = jnp.stack([du, dv], axis=-1)  # UV image of unit t_view
+    dir_len = jnp.sqrt(jnp.maximum(jnp.sum(dir_uv * dir_uv, axis=-1), 1e-20))
+
+    del dir_len  # (kept implicit in dir_uv's magnitude)
+    # a world step of s along t_view moves dir_uv·s in UV, so the major
+    # half-extent (cone_w·ratio/2 in world) maps directly:
+    minor_len = 0.5 * cone_w * density
+    duv_major = dir_uv * (0.5 * cone_w * ratio)[..., None]
+    return duv_major, minor_len
+
+
+def sample_ewa(pool: TexturePool, tex_id, uv, duv_major, lod_minor):
+    """Fixed-tap anisotropic filter (bounded-N EWA, reference
+    EWAFormula core-texture.cu:664-731 re-imagined for SPMD): EWA_TAPS
+    trilinear probes spaced along the major UV axis, Gaussian-weighted,
+    each filtered at the MINOR-axis LOD. Static tap count and shapes —
+    no data-dependent footprint loop."""
+    lod_minor = jax.lax.stop_gradient(lod_minor)
+    acc = None
+    wsum = 0.0
+    for i in range(EWA_TAPS):
+        s = (i / (EWA_TAPS - 1.0)) * 2.0 - 1.0  # [-1, 1]
+        wgt = float(np.exp(-2.0 * s * s))  # EWA gaussian (alpha = 2)
+        uv_i = uv + duv_major * s
+        c = sample_trilinear(pool, tex_id, uv_i, lod_minor)
+        acc = c * wgt if acc is None else acc + c * wgt
+        wsum += wgt
+    return acc / wsum
+
+
 def uv_density(tri_uv: jnp.ndarray, e0: jnp.ndarray, e1: jnp.ndarray):
     """Per-triangle ‖duv/dp‖ scale: sqrt(uv-area / world-area).
 

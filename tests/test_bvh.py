@@ -202,3 +202,22 @@ def test_bvh_kernel_reverse_mode():
     )
     expect = float(jnp.sum(jnp.where(t < 1e30, t, 0.0)))
     assert abs(float(grad) - expect) < 1e-3 * max(1.0, abs(expect))
+
+
+def test_large_scene_tables_fit_vmem():
+    """~131k-tri build: packing invariants hold and the traversal tables
+    stay far under the 16 MB scoped-VMEM limit (the r3 whole-table
+    design needed ~31 MB for 8.3k tris — this is the regression guard;
+    the on-device render proof is scripts/scale_test.py)."""
+    from cuda_optix_pathtracing_tpu.scene.procedural import cornell_box_mesh
+
+    scene = cornell_box_mesh(32, 32, subdiv=128)
+    assert scene.tri_v0.shape[0] >= 90_000
+    tri_rows = tri_rows_pack(scene.tri_v0, scene.tri_e0, scene.tri_e1)
+    vmem = tri_rows.nbytes + scene.bvh.box.nbytes
+    assert vmem < 8e6, f"traversal tables {vmem/1e6:.1f} MB"
+    assert scene.bvh.meta.nbytes < 255 * 1024, "SMEM meta over budget"
+    # every real triangle appears exactly once in the packed order
+    perm = np.asarray(scene.bvh.perm)
+    real = perm[perm >= 0]
+    assert len(np.unique(real)) == len(real)

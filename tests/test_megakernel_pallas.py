@@ -118,6 +118,95 @@ def test_fused_bvh_matches_xla_integrator():
     assert (diff.max(-1) > 1e-3).mean() < 0.005
 
 
+def test_fused_arealight_matches_xla_integrator():
+    """r4 scope extension: AREA-light NEE (area-CDF sampling + MIS) and
+    direct-emitter-hit MIS agree with the XLA integrator."""
+    from cuda_optix_pathtracing_tpu.ops.bsdf import diffuse_light, lambert, oren_nayar
+    from cuda_optix_pathtracing_tpu.ops.camera import CameraConfig
+    from cuda_optix_pathtracing_tpu.scene.types import HostScene, scene_from_host
+
+    w = h = 32
+    hs = HostScene()
+    hs.camera = CameraConfig(width=w, height=h)
+    # floor + back wall + emissive ceiling quad (two tris, uneven areas)
+    floor = [
+        np.array([[-2, 0, -1], [2, 0, -1], [2, 4, -1]], np.float32),
+        np.array([[-2, 0, -1], [2, 4, -1], [-2, 4, -1]], np.float32),
+    ]
+    lamp = [
+        np.array([[-0.8, 1.6, 1.4], [0.8, 1.6, 1.4], [0.8, 2.6, 1.4]], np.float32),
+        np.array([[-0.8, 1.6, 1.4], [0.8, 2.6, 1.4], [-0.3, 2.1, 1.4]], np.float32),
+    ]
+    hs.add_model(floor, 0)
+    hs.add_model(lamp, 1)
+    hs.materials = [
+        oren_nayar((0.7, 0.7, 0.7), 0.3),
+        diffuse_light((6.0, 5.0, 4.0)),
+    ]
+    scene_a = scene_from_host(hs, use_light_tree=False)
+    assert scene_a.emissive is not None
+    cfg = MegakernelConfig(max_depth=3, remat=False, backend="xla")
+    assert pallas_megakernel_supported(scene_a, cfg)
+    acc_x = acc_f = 0.0
+    for k in range(4):
+        samp = jnp.uint32(k)
+        px, py, o, d = _camera_rays(scene_a, w, h, samp)
+        acc_x = acc_x + np.asarray(trace_paths(scene_a, cfg, px, py, samp, o, d))
+        acc_f = acc_f + np.asarray(
+            trace_paths_fused(scene_a, px, py, samp, o, d, max_depth=3,
+                              interpret=True)
+        )
+    assert np.isfinite(acc_f).all()
+    assert acc_f.max() > 0.1  # the lamp actually lights the scene
+    diff = np.abs(acc_x - acc_f) / 4.0
+    assert diff.mean() < 1e-4
+    assert (diff.max(-1) > 1e-3).mean() < 0.005
+
+
+def test_fused_conductor_matches_xla_integrator():
+    """r4 scope extension: GGX conductor (RGB Fresnel + F82 multiscatter)
+    agrees with the XLA integrator."""
+    from cuda_optix_pathtracing_tpu.ops.bsdf import ggx_conductor, oren_nayar
+    from cuda_optix_pathtracing_tpu.ops.camera import CameraConfig
+    from cuda_optix_pathtracing_tpu.ops.lights import point_light
+    from cuda_optix_pathtracing_tpu.scene.types import HostScene, scene_from_host
+
+    w = h = 32
+    hs = HostScene()
+    hs.camera = CameraConfig(width=w, height=h)
+    floor = [
+        np.array([[-2, 0, -1], [2, 0, -1], [2, 4, -1]], np.float32),
+        np.array([[-2, 0, -1], [2, 4, -1], [-2, 4, -1]], np.float32),
+    ]
+    slab = [
+        np.array([[-1, 1.5, -0.2], [1, 1.5, -0.2], [1, 2.5, 0.6]], np.float32),
+        np.array([[-1, 1.5, -0.2], [1, 2.5, 0.6], [-1, 2.5, 0.6]], np.float32),
+    ]
+    hs.add_model(floor, 0)
+    hs.add_model(slab, 1)
+    hs.materials = [
+        oren_nayar((0.6, 0.6, 0.6), 0.2),
+        ggx_conductor((0.2, 0.9, 1.4), (3.9, 2.5, 2.1), 0.0, 0.15, 0.15),
+    ]
+    hs.lights = [point_light((10.0, 10.0, 10.0), (1.0, 0.5, 2.0), 1e-3)]
+    scene_c = scene_from_host(hs)
+    cfg = MegakernelConfig(max_depth=3, remat=False, backend="xla")
+    assert pallas_megakernel_supported(scene_c, cfg)
+    acc_x = acc_f = 0.0
+    for k in range(4):
+        samp = jnp.uint32(k)
+        px, py, o, d = _camera_rays(scene_c, w, h, samp)
+        acc_x = acc_x + np.asarray(trace_paths(scene_c, cfg, px, py, samp, o, d))
+        acc_f = acc_f + np.asarray(
+            trace_paths_fused(scene_c, px, py, samp, o, d, max_depth=3,
+                              interpret=True)
+        )
+    assert np.isfinite(acc_f).all()
+    diff = np.abs(acc_x - acc_f) / 4.0
+    assert diff.mean() < 1e-4
+    assert (diff.max(-1) > 1e-3).mean() < 0.005
+
+
 def test_fused_deterministic(scene):
     w = h = 32
     samp = jnp.uint32(3)

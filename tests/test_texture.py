@@ -166,3 +166,82 @@ def test_fbx_uv_import():
     ).load_mesh_ex("/root/reference/scenes/sphere.fbx")
     assert uvs is not None and uvs.shape == (tris.shape[0], 3, 2)
     assert 0.0 <= uvs.min() and uvs.max() <= 1.0 + 1e-6
+
+
+class TestEWA:
+    """Bounded-tap EWA anisotropic filtering (reference EWAFormula,
+    core-texture.cu:664-731; r4 VERDICT ask #9)."""
+
+    def _stripe_pool(self):
+        # vertical stripes: constant along v, alternating along u
+        img = np.zeros((64, 64, 3), np.float32)
+        img[:, ::2] = 1.0
+        return build_texture_pool([img])
+
+    def test_isotropic_matches_trilinear(self):
+        """With a zero-length major axis the EWA taps coincide and the
+        filter must reduce to plain trilinear."""
+        from cuda_optix_pathtracing_tpu.ops.texture import sample_ewa
+
+        pool = self._stripe_pool()
+        n = 64
+        rng = np.random.default_rng(0)
+        uv = jnp.asarray(rng.uniform(0, 1, (n, 2)), jnp.float32)
+        tid = jnp.zeros((n,), jnp.int32)
+        lod = jnp.full((n,), 1.3, jnp.float32)
+        tri = sample_trilinear(pool, tid, uv, lod)
+        ewa = sample_ewa(pool, tid, uv, jnp.zeros((n, 2)), lod)
+        np.testing.assert_allclose(np.asarray(ewa), np.asarray(tri), atol=1e-6)
+
+    def test_grazing_keeps_contrast_along_stripes(self):
+        """Anisotropic footprint stretched ALONG the stripes (v axis):
+        EWA taps stay inside one stripe so contrast survives, while an
+        isotropic (trilinear) filter at the footprint-covering LOD has
+        averaged neighbouring stripes toward gray — the classic
+        checkerboard-at-grazing-angle overblur the reference treats EWA
+        as the fix for."""
+        from cuda_optix_pathtracing_tpu.ops.texture import sample_ewa
+
+        pool = self._stripe_pool()
+        n = 128
+        u = np.linspace(0.05, 0.95, n, dtype=np.float32)
+        uv = jnp.asarray(np.stack([u, np.full_like(u, 0.5)], axis=1))
+        tid = jnp.zeros((n,), jnp.int32)
+        # footprint: minor 1 texel (u), major 16 texels (v)
+        duv_major = jnp.broadcast_to(
+            jnp.asarray([0.0, 16.0 / 64.0]), (n, 2)
+        )
+        lod_minor = jnp.zeros((n,), jnp.float32)
+        # the isotropic filter must cover the major axis: lod = log2(16)
+        lod_iso = jnp.full((n,), 4.0, jnp.float32)
+        ewa = np.asarray(sample_ewa(pool, tid, uv, duv_major, lod_minor))
+        tri = np.asarray(sample_trilinear(pool, tid, uv, lod_iso))
+        assert ewa.std() > 3.0 * tri.std()  # stripes survive EWA
+        assert ewa.max() > 0.9 and ewa.min() < 0.1
+        assert 0.2 < tri.mean() < 0.8  # isotropic has gone gray
+
+    def test_cone_ellipse_grazing_geometry(self):
+        """At grazing incidence the ellipse major axis lies along the
+        view's tangent projection and is ratio=1/cosθ longer than the
+        minor axis (clamped to MAX_ANISO)."""
+        from cuda_optix_pathtracing_tpu.ops.texture import (
+            MAX_ANISO,
+            cone_ellipse_uv,
+        )
+
+        n = 4
+        ng = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+        # wo at 75.5° incidence in the xz plane: cosθ = 0.25
+        ct = 0.25
+        st = float(np.sqrt(1 - ct * ct))
+        wo = jnp.broadcast_to(jnp.asarray([st, 0.0, ct]), (n, 3))
+        dpdu = jnp.broadcast_to(jnp.asarray([2.0, 0.0, 0.0]), (n, 3))
+        dpdv = jnp.broadcast_to(jnp.asarray([0.0, 2.0, 0.0]), (n, 3))
+        cone_w = jnp.full((n,), 0.1, jnp.float32)
+        dens = jnp.full((n,), 0.5, jnp.float32)  # |duv/dp| = 1/2
+        duv_major, minor = cone_ellipse_uv(cone_w, dens, wo, ng, dpdu, dpdv)
+        # direction: +u only (t_view = +x → uv dir (0.5, 0))
+        np.testing.assert_allclose(np.asarray(duv_major[:, 1]), 0.0, atol=1e-7)
+        ratio = np.linalg.norm(np.asarray(duv_major), axis=1) / np.asarray(minor)
+        np.testing.assert_allclose(ratio, 1.0 / ct, rtol=1e-5)
+        assert np.all(ratio <= MAX_ANISO + 1e-5)
