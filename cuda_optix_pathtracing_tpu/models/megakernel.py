@@ -146,7 +146,112 @@ def _park_dead(o, d, alive):
     )
 
 
+def _closest_raw_single(scene: Scene, cfg, o, d):
+    """(t, i) on the BASE mesh in its own space (t = BIG_T on miss)."""
+    from ..ops.intersect import BIG_T, intersect_closest_raw
+    from ..ops.intersect_pallas import intersect_closest_pallas_raw
+
+    if _use_pallas(cfg):
+        if scene.bvh is not None:
+            tri_rows = tri_rows_pack(scene.tri_v0, scene.tri_e0, scene.tri_e1)
+            return bvh_closest_raw(
+                o, d, scene.bvh.box, scene.bvh.meta, tri_rows
+            )
+        return intersect_closest_pallas_raw(
+            o, d, scene.tri_v0, scene.tri_e0, scene.tri_e1
+        )
+    return intersect_closest_raw(
+        o, d, scene.tri_v0, scene.tri_e0, scene.tri_e1, chunk=cfg.tri_chunk
+    )
+
+
+def _inst_rows(table, best_k, n_inst):
+    """(N, 3, 4) per-ray affine rows selected from an (I, 3, 4) table by
+    where-accumulation (I is small and static)."""
+    acc = jnp.zeros(best_k.shape + (3, 4), jnp.float32)
+    for k in range(n_inst):
+        acc = jnp.where((best_k == k)[:, None, None], table[k], acc)
+    return acc
+
+
+def _closest_instanced(scene: Scene, cfg, o, d, alive=None):
+    """Closest hit over ∪_i M_i(base mesh): per instance, transform the
+    rays into object space (t is shared between spaces when the object
+    direction is left unnormalized) and min-reduce; ONE epilogue runs in
+    the winner's object space, then position/normal/error map back to
+    world. The TPU re-design of the reference's per-instance BVH + TLAS
+    (core-bvh-builder.cpp:225-498): memory stays O(one mesh)."""
+    from ..ops.intersect import BIG_T
+
+    inst = scene.instances
+    n_inst = inst.world_from_obj.shape[0]
+    o, d = _park_dead(o, d, alive)
+    n = o.shape[0]
+    best_t = jnp.full((n,), BIG_T, jnp.float32)
+    best_i = jnp.zeros((n,), jnp.int32)
+    best_k = jnp.zeros((n,), jnp.int32)
+    for k in range(n_inst):
+        a = inst.obj_from_world[k]
+        o_k = o @ a[:, :3].T + a[:, 3]
+        d_k = d @ a[:, :3].T
+        t, i = _closest_raw_single(scene, cfg, o_k, d_k)
+        better = t < best_t
+        best_t = jnp.where(better, t, best_t)
+        best_i = jnp.where(better, i, best_i)
+        best_k = jnp.where(better, k, best_k)
+
+    a_win = _inst_rows(inst.obj_from_world, best_k, n_inst)  # (N,3,4)
+    m_win = _inst_rows(inst.world_from_obj, best_k, n_inst)
+    o_obj = jnp.einsum("nij,nj->ni", a_win[:, :, :3], o) + a_win[:, :, 3]
+    d_obj = jnp.einsum("nij,nj->ni", a_win[:, :, :3], d)
+    hit = closest_epilogue(
+        o_obj, d_obj, scene.tri_v0, scene.tri_e0, scene.tri_e1,
+        best_t, best_i,
+    )
+    pos_w = (
+        jnp.einsum("nij,nj->ni", m_win[:, :, :3], hit.pos) + m_win[:, :, 3]
+    )
+    # normals by inverse-transpose: M⁻ᵀ = (obj_from_world linear)ᵀ
+    ng_w = normalize(jnp.einsum("nji,nj->ni", a_win[:, :, :3], hit.normal))
+    # conservative world error bound: |M| · err
+    err_w = jnp.einsum("nij,nj->ni", jnp.abs(m_win[:, :, :3]), hit.error)
+    return hit._replace(pos=pos_w, normal=ng_w, error=err_w)
+
+
+def _any_instanced(scene: Scene, cfg, o, d, t_max, alive=None):
+    inst = scene.instances
+    occ = None
+    o, d = _park_dead(o, d, alive)
+    for k in range(inst.world_from_obj.shape[0]):
+        a = inst.obj_from_world[k]
+        o_k = o @ a[:, :3].T + a[:, 3]
+        d_k = d @ a[:, :3].T
+        occ_k = _any_single(scene, cfg, o_k, d_k, t_max)
+        occ = occ_k if occ is None else (occ | occ_k)
+    return occ
+
+
+def _any_single(scene: Scene, cfg, o, d, t_max):
+    """Occlusion on the base mesh only (no sorting, no dead-parking —
+    the instanced wrapper handles both)."""
+    if _use_pallas(cfg):
+        if scene.bvh is not None:
+            tri_rows = tri_rows_pack(scene.tri_v0, scene.tri_e0, scene.tri_e1)
+            return bvh_any_pallas(
+                o, d, scene.bvh.box, scene.bvh.meta, tri_rows, t_max
+            )
+        return intersect_any_pallas(
+            o, d, scene.tri_v0, scene.tri_e0, scene.tri_e1, t_max
+        )
+    return intersect_any(
+        o, d, scene.tri_v0, scene.tri_e0, scene.tri_e1, t_max,
+        chunk=cfg.tri_chunk,
+    )
+
+
 def _closest(scene: Scene, cfg, o, d, alive=None):
+    if scene.instances is not None:
+        return _closest_instanced(scene, cfg, o, d, alive)
     if _use_pallas(cfg):
         if scene.bvh is not None:
             o, d = _park_dead(o, d, alive)
@@ -179,6 +284,8 @@ def _closest(scene: Scene, cfg, o, d, alive=None):
 
 
 def _any(scene: Scene, cfg, o, d, t_max, alive=None):
+    if scene.instances is not None:
+        return _any_instanced(scene, cfg, o, d, t_max, alive)
     if _use_pallas(cfg):
         if scene.bvh is not None:
             o, d = _park_dead(o, d, alive)

@@ -1203,7 +1203,7 @@ def pallas_megakernel_supported(scene: Scene, cfg) -> bool:
     node meta table must fit the 256 KB SMEM input budget."""
     import numpy as np
 
-    if scene.textures is not None:
+    if scene.textures is not None or scene.instances is not None:
         return False
     if scene.bvh is not None and scene.bvh.meta.nbytes > 255 * 1024:
         return False

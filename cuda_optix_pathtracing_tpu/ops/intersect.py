@@ -132,6 +132,13 @@ def intersect_closest(o, d, v0, e0, e1, t_max=None, chunk: int = 32) -> ClosestH
 
     ``t_max`` optionally clips hits (scalar or (N,)).
     """
+    best_t, best_i = intersect_closest_raw(o, d, v0, e0, e1, chunk)
+    return closest_epilogue(o, d, v0, e0, e1, best_t, best_i, t_max)
+
+
+def intersect_closest_raw(o, d, v0, e0, e1, chunk: int = 32):
+    """Sweep only: (best_t (N,), best_i (N,)) with t = BIG_T on miss —
+    the epilogue-free form the instanced path min-reduces per instance."""
     v0c, e0c, e1c, n_chunks = _tri_chunks(v0, e0, e1, chunk)
 
     def chunk_best(cv0, ce0, ce1):
@@ -157,7 +164,7 @@ def intersect_closest(o, d, v0, e0, e1, t_max=None, chunk: int = 32) -> ClosestH
         init = (zf + BIG_T, zf.astype(jnp.int32), jnp.int32(0))
         (best_t, best_i, _), _ = lax.scan(step, init, (v0c, e0c, e1c))
 
-    return closest_epilogue(o, d, v0, e0, e1, best_t, best_i, t_max)
+    return best_t, best_i
 
 
 def closest_epilogue(o, d, v0, e0, e1, best_t, best_i, t_max=None) -> ClosestHit:

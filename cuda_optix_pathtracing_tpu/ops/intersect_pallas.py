@@ -213,13 +213,17 @@ def _any_nd(rows):
     return nondiff_kernel(lambda *a: _any_call(list(a[:7]), a[7], rows))
 
 
-def intersect_closest_pallas(o, d, v0, e0, e1, t_max=None) -> ClosestHit:
-    """Pallas closest-hit; drop-in for intersect.intersect_closest."""
+def intersect_closest_pallas_raw(o, d, v0, e0, e1):
+    """Sweep only: (best_t, best_i) with t = BIG_T on miss."""
     planes, rows, n = _pack_rays(o, d)
     tri_tab = _tri_table(v0, e0, e1)
     best_t, best_i = _closest_nd(rows)(*planes[:6], tri_tab)
-    best_t = best_t.reshape(-1)[:n]
-    best_i = best_i.reshape(-1)[:n]
+    return best_t.reshape(-1)[:n], best_i.reshape(-1)[:n]
+
+
+def intersect_closest_pallas(o, d, v0, e0, e1, t_max=None) -> ClosestHit:
+    """Pallas closest-hit; drop-in for intersect.intersect_closest."""
+    best_t, best_i = intersect_closest_pallas_raw(o, d, v0, e0, e1)
     return closest_epilogue(o, d, v0, e0, e1, best_t, best_i, t_max)
 
 

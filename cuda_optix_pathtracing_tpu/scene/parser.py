@@ -315,6 +315,52 @@ def parse_scene(path: str) -> tuple[HostScene, ParsedScene]:
 
     world = doc.get("world", {})
     placed_lights = set()
+
+    # True instancing (r4, reference Instance/core-trianglemesh.h:84-99):
+    # when the whole world section places ONE object under ≥2 transforms,
+    # load its mesh ONCE and record the transforms — N placements cost
+    # one mesh + one BVH of memory. Mixed scenes / authored normals /
+    # emissive materials fall back to baking (Scene.instances docs).
+    _inst_refs = [
+        (transforms.get(tname), oname)
+        for tname, binding in world.items()
+        for oname in binding.get("instances", [])
+    ]
+    _inst_objects = {oname for _, oname in _inst_refs}
+    if len(_inst_objects) == 1 and len(_inst_refs) >= 2:
+        oname = next(iter(_inst_objects))
+        oj = objects.get(oname)
+        if oj is None:
+            raise SceneParseError(f"world references unknown object '{oname}'")
+        tris, uvs, normals = _object_triangles(oj, base_dir)
+        mat = mat_ids[oj.get("material", next(iter(mat_ids)))]
+        emissive_mat = bool(
+            np.max(np.asarray(hs.materials[mat].get("emission", (0.0,) * 3)))
+            > 0.0
+        )
+        if normals is None and not emissive_mat and all(
+            m is not None for m, _ in _inst_refs
+        ):
+            hs.triangles.extend(list(np.asarray(tris, np.float32)))
+            hs.tri_mat.extend([mat] * len(tris))
+            hs.tri_uv.extend(
+                list(np.asarray(uvs, np.float32)) if uvs is not None
+                else [None] * len(tris)
+            )
+            hs.tri_ns.extend([None] * len(tris))
+            hs.instance_transforms = np.stack([m for m, _ in _inst_refs])
+            for tname, binding in world.items():
+                m = transforms.get(tname)
+                for lname in binding.get("lights", []):
+                    lj = lights.get(lname)
+                    if lj is None:
+                        raise SceneParseError(
+                            f"world references unknown light '{lname}'"
+                        )
+                    hs.add_light(_light_from_json(lj, m))
+                    placed_lights.add(lname)
+            world = {}  # handled
+
     for tname, binding in world.items():
         m = transforms.get(tname)
         if m is None:

@@ -68,6 +68,14 @@ class Scene(NamedTuple):
     # Interpolated barycentrically at hits and aligned to the incident-side
     # geometric normal (reference computeSmoothNormals + shading-normal
     # interpolation, core-trianglemesh.cpp / core-render.cpp:183-269).
+    instances: Optional["InstanceTable"] = None  # when present, the
+    # triangle arrays hold ONE shared base mesh in OBJECT space and the
+    # renderable geometry is ∪_i M_i(mesh): rays are transformed into
+    # object space per instance and traverse the shared (single) BVH —
+    # N instances cost one mesh + one BVH of memory (reference Instance
+    # + per-instance BVH design, core-trianglemesh.h:84-99,
+    # core-bvh-builder.cpp:225-498, re-imagined as a ray-transform loop
+    # instead of a TLAS: instance counts here are small and static).
 
     @property
     def num_triangles(self):
@@ -76,6 +84,23 @@ class Scene(NamedTuple):
     @property
     def num_lights(self):
         return self.lights.ltype.shape[0]
+
+
+class InstanceTable(NamedTuple):
+    """Rigid/affine placements of the shared base mesh."""
+
+    world_from_obj: jnp.ndarray  # (I, 3, 4) affine [R|t]
+    obj_from_world: jnp.ndarray  # (I, 3, 4) inverse affine
+
+
+def make_instance_table(transforms) -> InstanceTable:
+    """(I, 4, 4) (or list of 4×4) world-from-object matrices → table."""
+    mats = np.asarray(transforms, np.float32).reshape(-1, 4, 4)
+    inv = np.stack([np.linalg.inv(m) for m in mats])
+    return InstanceTable(
+        world_from_obj=jnp.asarray(mats[:, :3, :]),
+        obj_from_world=jnp.asarray(inv[:, :3, :].astype(np.float32)),
+    )
 
 
 @dataclass
@@ -95,6 +120,9 @@ class HostScene:
     env_image: object = None  # (H,W,3) radiance array; overrides env_color
     env_rotation: object = None  # (3,3)
     camera: CameraConfig = field(default_factory=CameraConfig)
+    instance_transforms: object = None  # optional (I,4,4) world-from-obj
+    # placements of the (single, shared) mesh in ``triangles`` — see
+    # Scene.instances. Incompatible with emissive materials/light tree.
 
     def add_model(
         self,
@@ -255,6 +283,15 @@ def scene_from_host(
             jnp.asarray(tri_uv), jnp.asarray(e0), jnp.asarray(e1)
         )
 
+    instances = None
+    if hs.instance_transforms is not None:
+        if emissive is not None or light_tree is not None:
+            raise ValueError(
+                "instanced scenes do not support emissive geometry / "
+                "light trees (bake the transforms instead)"
+            )
+        instances = make_instance_table(hs.instance_transforms)
+
     return Scene(
         tri_v0=jnp.asarray(v0),
         tri_e0=jnp.asarray(e0),
@@ -277,6 +314,7 @@ def scene_from_host(
         tri_uv=jnp.asarray(tri_uv) if tri_uv is not None else None,
         tri_uvdens=tri_uvdens,
         tri_ns=jnp.asarray(tri_ns) if tri_ns is not None else None,
+        instances=instances,
     )
 
 
