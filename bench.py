@@ -11,7 +11,7 @@ extra:
 - cornell_mesh_bvh_mpaths: the same estimator on the BVH-exercising
   mesh Cornell (two subdiv-64 spheres ≈ 8.3k tris, BASELINE config 4
   class) through the XLA wavefront + packet-BVH kernels with
-  octant/Morton ray sorting, 8 spp flattened per pass (r4 tuning:
+  octant/Morton ray sorting, 16 spp flattened per pass (r4 tuning:
   LEAF_SIZE=16, 16-row tiles, dead-ray parking — docs/perf_notes.md).
 - fwd_bwd_mpaths: ONE value_and_grad step of the albedo L2 loss at 256²
   depth-5 (path-replay backward via remat) in paths/s counting forward
@@ -110,7 +110,7 @@ def main():
         features=mat_features_from_table(scene_m.materials),
     )
     mpaths_bvh = _throughput(
-        scene_m, cfg_m, width, height, 8, iters=3, spp_per_pass=8
+        scene_m, cfg_m, width, height, 16, iters=2, spp_per_pass=16
     )
 
     # --- differentiable: fwd+bwd albedo gradient step ---

@@ -474,6 +474,8 @@ def _textured_mat(scene: Scene, cfg, mat, hit, cone_w, wo=None):
         sample_trilinear,
     )
 
+    from ..ops.texture import MAX_ANISO
+
     uv, dpdu, dpdv, _ = _uv_at_hit(scene, hit)
     dens = onehot_gather(scene.tri_uvdens[:, None], hit.tri)[:, 0]
     use_ewa = cfg.texture_filter == "ewa" and wo is not None
@@ -481,12 +483,24 @@ def _textured_mat(scene: Scene, cfg, mat, hit, cone_w, wo=None):
         duv_major, _minor = cone_ellipse_uv(
             cone_w, dens, wo, hit.normal, dpdu, dpdv
         )
+    # isotropic (trilinear) filtering must cover the footprint's MAJOR
+    # axis — the cone's surface ellipse stretches by 1/cosθ at grazing
+    # incidence (else the horizon aliases); EWA instead filters each tap
+    # at the MINOR-axis LOD and spreads taps along the major axis.
+    if wo is not None and not use_ewa:
+        cos_t = jnp.abs(jnp.sum(wo * hit.normal, axis=-1))
+        cone_iso = cone_w / jnp.maximum(cos_t, 1.0 / MAX_ANISO)
+    else:
+        cone_iso = cone_w
 
     def fetch(tid):
-        lod = raycone_lod(scene.textures, tid, cone_w, dens)
         if use_ewa:
+            lod = raycone_lod(scene.textures, tid, cone_w, dens)
             return sample_ewa(scene.textures, tid, uv, duv_major, lod)
-        return sample_trilinear(scene.textures, tid, uv, lod)
+        return sample_trilinear(
+            scene.textures, tid, uv,
+            raycone_lod(scene.textures, tid, cone_iso, dens),
+        )
 
     has_alb = mat.albedo_tex >= 0
     albedo_t = fetch(jnp.maximum(mat.albedo_tex, 0))

@@ -275,9 +275,13 @@ def pixel_cone_spread(cam_from_raster) -> jnp.ndarray:
     """Angular extent of one pixel at the image center — the camera cone
     spread α₀ (reference minDifferentialsFromCamera, core-render.cuh:353).
 
-    For the pinhole raster→camera map, one raster step changes the
-    unnormalized direction by the matrix's x column; at the center the
-    direction has unit-ish z, so α ≈ ‖ddir/dx‖ / ‖dir_center‖.
+    One raster step changes the unnormalized sensor vector by the
+    matrix's x column (one pixel pitch, in meters); the center direction
+    is ≈ (0, 0, f) with f = the focal length the map bakes into m[2,3].
+    α ≈ ‖ddir/dx‖ / ‖dir_center‖ = pixel_pitch / f.  (r4 fix: the
+    earlier form skipped the /f — with a 20 mm focal that under-filtered
+    every texture LOD by ~50×, i.e. permanent finest-mip aliasing.)
     """
     dd = cam_from_raster[:3, 0]
-    return jnp.sqrt(jnp.sum(dd * dd))
+    f = jnp.abs(cam_from_raster[2, 3])
+    return jnp.sqrt(jnp.sum(dd * dd)) / jnp.maximum(f, 1e-12)

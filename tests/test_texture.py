@@ -134,10 +134,15 @@ def test_textured_render_matches_constant_mean():
 
     def build(textured):
         hs = HostScene()
-        hs.camera = CameraConfig(width=32, height=32)
+        # 64² with 2-texel checker cells: a cell spans ~3.6 pixels, safely
+        # above Nyquist, so CORRECT mip filtering keeps the pattern. (The
+        # r4 pixel_cone_spread fix exposed that the old 1-texel cells sat
+        # exactly at one pixel — a properly-filtered render legitimately
+        # averages those to gray.)
+        hs.camera = CameraConfig(width=64, height=64)
         hs.add_model(generate_plane((0, 3, 0), (0, -1, 0), 4, 4), 0)
         if textured:
-            tex = hs.add_texture(checker(8))
+            tex = hs.add_texture(np.kron(checker(4), np.ones((2, 2, 1), np.float32)))
             hs.add_material({**B.lambert((1.0, 1.0, 1.0)), "albedo_tex": tex})
         else:
             hs.add_material(B.lambert((0.5, 0.5, 0.5)))
@@ -146,10 +151,10 @@ def test_textured_render_matches_constant_mean():
 
     cfg = MegakernelConfig(max_depth=2, remat=False, backend="xla")
     img_t = np.asarray(
-        jax.jit(lambda: render_sample_batch(build(True), cfg, 32, 32, jnp.uint32(0)))()
+        jax.jit(lambda: render_sample_batch(build(True), cfg, 64, 64, jnp.uint32(0)))()
     )
     img_c = np.asarray(
-        jax.jit(lambda: render_sample_batch(build(False), cfg, 32, 32, jnp.uint32(0)))()
+        jax.jit(lambda: render_sample_batch(build(False), cfg, 64, 64, jnp.uint32(0)))()
     )
     assert np.isfinite(img_t).all()
     np.testing.assert_allclose(img_t.mean(), img_c.mean(), rtol=0.05)
