@@ -37,20 +37,44 @@ def morton3(x, y, z):
     return _part3(x) | (_part3(y) << U32(1)) | (_part3(z) << U32(2))
 
 
-def ray_sort_key(o, d, bounds_lo, bounds_hi, alive=None, morton_bits: int = 7):
-    """(N,) u32 sort key: [31]=dead [30:28]=direction octant
-    [27:7]=origin Morton (``morton_bits`` per axis, top-aligned)."""
+def ray_sort_key(o, d, bounds_lo, bounds_hi, alive=None, morton_bits: int = 7,
+                 dir_bits: int = 0):
+    """(N,) u32 sort key:
+    [31]=dead [30:28]=direction octant [..]=direction Morton
+    (``dir_bits`` per |component| within the octant) [..]=origin Morton
+    (``morton_bits`` per axis), packed top-aligned.
+
+    The direction bits (r4) subdivide each octant's 90°×90° cone so a
+    sorted tile's union frustum is a narrower wedge. Measured on mesh
+    Cornell bounce rays (v5e): NEUTRAL at 1 bit (8.0 vs 8.0 Mrays/s)
+    and 1.6× WORSE at 2 bits (4.9 — origin locality loss dominates in a
+    closed scene where every wall sees every direction anyway), so the
+    default stays 0; the knob exists for open scenes with long rays
+    where direction coherence is the scarcer resource.
+    """
     octant = (
         (d[:, 0] < 0).astype(U32)
         | ((d[:, 1] < 0).astype(U32) << U32(1))
         | ((d[:, 2] < 0).astype(U32) << U32(2))
     )
+    key = octant << U32(28)
+    shift = 28
+    if dir_bits:
+        ad = jnp.abs(d)
+        dscale = jnp.float32((1 << dir_bits) - 1)
+        di = (jnp.clip(ad, 0.0, 0.999999) * dscale).astype(U32)
+        dm = morton3(di[:, 0], di[:, 1], di[:, 2]) if dir_bits > 1 else (
+            di[:, 0] | (di[:, 1] << U32(1)) | (di[:, 2] << U32(2))
+        )
+        shift -= 3 * dir_bits
+        key = key | (dm << U32(shift))
     extent = jnp.maximum(bounds_hi - bounds_lo, 1e-6)
     q = jnp.clip((o - bounds_lo) / extent, 0.0, 1.0)
     scale = jnp.float32((1 << morton_bits) - 1)
     qi = (q * scale).astype(U32)
     m = morton3(qi[:, 0], qi[:, 1], qi[:, 2])  # 3*morton_bits bits
-    key = (octant << U32(28)) | (m << U32(28 - 3 * morton_bits))
+    shift -= 3 * morton_bits
+    key = key | (m << U32(shift))
     if alive is not None:
         key = jnp.where(alive, key, U32(0xFFFFFFFF))
     return key
