@@ -105,6 +105,12 @@ class MegakernelConfig:
     # major axis (ops/texture.sample_ewa; reference EWAFormula,
     # core-texture.cu:664-731) — sharper at grazing angles, ~5× the
     # texture fetch cost
+    debug: bool = False  # NaN guard: assert film finiteness after every
+    # progressive batch; render() raises FloatingPointError naming the
+    # batch and the non-finite pixel count — the TPU analogue of the
+    # reference's device asserts + CUDA_CHECK (wavefront/main.cu:35-53,
+    # types.cuh:20-29). Composes with jax.config "jax_debug_nans" for
+    # in-trace localization of the producing op.
     fused: str = "auto"  # "auto" | "on" | "off": the fully-fused Pallas
     # path-loop megakernel (models/megakernel_pallas.py) for supported
     # scenes (Cornell-class: brute force, ON+GGX-dielectric, point/spot,
@@ -1052,6 +1058,14 @@ def render(scene: Scene, width: int, height: int, spp: int, cfg: MegakernelConfi
             scene, film, cfg, width, height, jnp.uint32(done), batch, per_pass
         )
         done += batch
+        if cfg.debug:
+            bad = int(jnp.sum(~jnp.isfinite(film.mean)))
+            if bad:
+                raise FloatingPointError(
+                    f"NaN guard: film holds {bad} non-finite values after "
+                    f"sample batch ending at spp={done} (enable "
+                    f"jax_debug_nans to localize the producing op)"
+                )
         if progress_cb is not None:
             progress_cb(film, done)
     return film

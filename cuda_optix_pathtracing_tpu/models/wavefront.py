@@ -163,9 +163,13 @@ def render_wavefront(scene: Scene, width, height, spp, cfg=None, kspp: int = 4, 
 # iterations ≈ total_bounce_work / pool_size instead of spp × max_depth.
 #
 # Film accumulation cannot use the dense per-sample Welford update (paths
-# retire out of order), so finished paths scatter (sum, sum²) by pixel id
-# and the film is closed into Welford (mean, M2, n) form at the end —
-# algebraically identical since every pixel receives exactly spp samples.
+# retire out of order), so finished paths scatter per-ITERATION batch
+# moments by pixel id and those are merged into running Welford
+# (mean, M2, count) state with Chan's parallel update each iteration.
+# A batch holds ≤ a few samples per pixel, so its local Σ²−Σ²/n closure
+# is benign; the running state never holds raw power sums — this is the
+# numerically-safe form (a global (Σ, Σ²) closure at spp≫1 cancels
+# catastrophically once mean² ≫ variance).
 
 
 def render_pool_wavefront(
@@ -212,26 +216,45 @@ def render_pool_wavefront(
         state, px, py, sample, pix,
         jnp.zeros((m,), jnp.int32),  # per-lane depth
         jnp.uint32(m),  # next work item
-        jnp.zeros((npix, 3), jnp.float32),  # Σ radiance
-        jnp.zeros((npix, 3), jnp.float32),  # Σ radiance²
+        jnp.zeros((npix, 3), jnp.float32),  # running mean
+        jnp.zeros((npix, 3), jnp.float32),  # running M2
+        jnp.zeros((npix,), jnp.float32),  # running count
     )
 
     def cond(c):
         return jnp.any(c[0].alive)
 
     def body(c):
-        state, px, py, sample, pix, depth, next_w, s1, s2 = c
+        state, px, py, sample, pix, depth, next_w, mean, m2, cnt = c
         pre = state.alive
         state = bounce_step(scene, cfg, sampler, px, py, sample, depth, state)
         depth = depth + 1
         finished = pre & (~state.alive | (depth >= cfg.max_depth))
 
-        # retire: scatter (Σ, Σ²) by pixel; duplicates in `pix` are fine
-        # (scatter-add), inert lanes carry pix == npix → dropped
+        # retire: scatter THIS iteration's batch moments by pixel
+        # (duplicates in `pix` are fine — scatter-add; inert lanes carry
+        # pix == npix → dropped), then Chan-merge into (mean, M2, cnt).
         rad = jnp.where(finished[..., None], state.radiance, 0.0)
         fpix = jnp.where(finished, pix, npix)
-        s1 = s1.at[fpix].add(rad, mode="drop")
-        s2 = s2.at[fpix].add(rad * rad, mode="drop")
+        nb = jnp.zeros((npix,), jnp.float32).at[fpix].add(
+            finished.astype(jnp.float32), mode="drop"
+        )
+        sb = jnp.zeros((npix, 3), jnp.float32).at[fpix].add(rad, mode="drop")
+        qb = jnp.zeros((npix, 3), jnp.float32).at[fpix].add(
+            rad * rad, mode="drop"
+        )
+        nb_safe = jnp.maximum(nb, 1.0)[:, None]
+        mb = sb / nb_safe
+        m2b = jnp.maximum(qb - sb * sb / nb_safe, 0.0)
+        ntot = cnt + nb
+        w = (nb / jnp.maximum(ntot, 1.0))[:, None]
+        delta = mb - mean
+        has = (nb > 0.0)[:, None]
+        mean = jnp.where(has, mean + delta * w, mean)
+        m2 = jnp.where(
+            has, m2 + m2b + delta * delta * cnt[:, None] * w, m2
+        )
+        cnt = ntot
 
         # refill: finished lanes claim the next work items (prefix ranks)
         rank = jnp.cumsum(finished.astype(jnp.uint32)) - 1
@@ -253,14 +276,15 @@ def render_pool_wavefront(
         pix = jnp.where(finished, jnp.where(valid, pix2, npix), pix)
         depth = jnp.where(finished, 0, depth)
         next_w = next_w + jnp.sum(finished.astype(jnp.uint32))
-        return state, px, py, sample, pix, depth, next_w, s1, s2
+        return state, px, py, sample, pix, depth, next_w, mean, m2, cnt
 
-    _, _, _, _, _, _, _, s1, s2 = lax.while_loop(cond, body, carry)
-    # close the (Σ, Σ²) accumulators into Welford (mean, M2, n) form
-    n = jnp.float32(spp)
-    mean = (s1 / n).reshape(height, width, 3)
-    m2 = (s2 - s1 * s1 / n).reshape(height, width, 3)
-    return Film(mean=mean, m2=jnp.maximum(m2, 0.0), n=n)
+    out = lax.while_loop(cond, body, carry)
+    mean, m2 = out[7], out[8]
+    return Film(
+        mean=mean.reshape(height, width, 3),
+        m2=m2.reshape(height, width, 3),
+        n=jnp.float32(spp),
+    )
 
 
 render_pool_wavefront_jit = jax.jit(

@@ -129,10 +129,6 @@ def _material_from_json(mj: dict, tex_ids: dict | None = None) -> dict:
         extra["normal_tex"] = _resolve_tex(
             tex_ids, mj["normal"], "normal", f"material '{name}' normal"
         )
-        log.warning(
-            "material '%s': normal map parsed but normal mapping is not yet "
-            "applied at shading time", name,
-        )
     metallic = mj.get("metallic", 0.0)
     if isinstance(metallic, str):
         log.warning(
@@ -293,12 +289,28 @@ def parse_scene(path: str) -> tuple[HostScene, ParsedScene]:
             mat_ids[mj["name"]] = hs.add_material(_material_from_json(mj, tex_ids))
         except SceneParseError as e:
             if "unknown texture" in str(e):
-                log.warning("%s — falling back to constant", e)
+                # Replace ONLY the references that actually fail to
+                # resolve; resolvable textures (incl. normal maps) stay.
+                def _keep(k, v):
+                    if k in ("diffuse", "roughness", "normal") and isinstance(
+                        v, str
+                    ):
+                        return v in tex_ids
+                    return True
+
+                dropped = [
+                    f"{k}='{v}'" for k, v in mj.items() if not _keep(k, v)
+                ]
+                log.warning(
+                    "%s — dropping unresolved reference(s) %s, keeping the "
+                    "rest", e, ", ".join(dropped),
+                )
                 mj2 = {
-                    k: ((0.8, 0.8, 0.8) if k == "diffuse" and isinstance(v, str)
-                        else 0.5 if k == "roughness" and isinstance(v, str)
-                        else v)
-                    for k, v in mj.items() if k != "normal" or not isinstance(v, str)
+                    k: ((0.8, 0.8, 0.8) if k == "diffuse"
+                        else 0.5 if k == "roughness" else v)
+                    if not _keep(k, v) else v
+                    for k, v in mj.items()
+                    if _keep(k, v) or k != "normal"
                 }
                 mat_ids[mj["name"]] = hs.add_material(_material_from_json(mj2, tex_ids))
             else:
