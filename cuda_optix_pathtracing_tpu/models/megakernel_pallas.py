@@ -56,7 +56,14 @@ from ..ops.bsdf import (
     THROUGHPUT_EPS,
     _e_poly_coeffs,
 )
-from ..ops.bvh_pallas import STACK_DEPTH, tile_traverse, tri_rows_pack
+from ..ops.bvh_pallas import (
+    DRAIN,
+    LEAF_STACK_DEPTH,
+    STACK_DEPTH,
+    degen_tables,
+    tile_traverse,
+    tri_rows_pack,
+)
 from ..ops.intersect import BIG_T, MT_TOLERANCE, T_MIN
 from ..scene.types import Scene
 
@@ -425,7 +432,7 @@ def _pt_kernel(
     if use_bvh:
         (ox, oy, oz, dx, dy, dz, pxr, pyr, smp,
          nodemeta, mat_tab, light_tab, env, em_tab,
-         tri, nodebox, lr, lg, lb, stack) = refs
+         tri, nodebox, lr, lg, lb, stack, lstack) = refs
         mat_id_tab = None
     else:
         (ox, oy, oz, dx, dy, dz, pxr, pyr, smp,
@@ -578,7 +585,8 @@ def _pt_kernel(
 
         def closest_hit(o, d, alive=None):  # noqa: F811
             t_b, u_b, v_b, m_f, p0, e0v, e1v = tile_traverse(
-                "attrs", o, d, nodemeta, nodebox, tri, stack, alive=alive
+                "attrs", o, d, nodemeta, nodebox, tri, stack, lstack,
+                alive=alive
             )
             hit = t_b < BIG_T
             mat_b = m_f.astype(jnp.int32)
@@ -602,7 +610,7 @@ def _pt_kernel(
         def any_hit(o, d, t_max, alive=None):  # noqa: F811
             return (
                 tile_traverse(
-                    "any", o, d, nodemeta, nodebox, tri, stack,
+                    "any", o, d, nodemeta, nodebox, tri, stack, lstack,
                     tmax=t_max, alive=alive,
                 )
                 > 0
@@ -1378,13 +1386,19 @@ def trace_paths_fused(
         tri_pack = tri_rows_pack(
             scene.tri_v0, scene.tri_e0, scene.tri_e1, scene.tri_mat
         )
+        bvh_box, bvh_meta, tri_pack = degen_tables(
+            scene.bvh.box, scene.bvh.meta, tri_pack
+        )
         out = pl.pallas_call(
             kern,
             grid=(grid,),
             in_specs=[ray_spec] * 9 + [smem] * 5 + [full] * 2,
             out_specs=[ray_spec] * 3,
             out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 3,
-            scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+            scratch_shapes=[
+                pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+                pltpu.SMEM((LEAF_STACK_DEPTH,), jnp.int32),
+            ],
             cost_estimate=pl.CostEstimate(
                 flops=int(rows) * LANES * max_depth * 40_000,
                 bytes_accessed=int(rows) * LANES * 15 * 4
@@ -1393,8 +1407,8 @@ def trace_paths_fused(
             ),
             interpret=interpret,
         )(
-            *planes, scene.bvh.meta, mat_tab, light_tab, env_color, em_tab,
-            tri_pack, scene.bvh.box,
+            *planes, bvh_meta, mat_tab, light_tab, env_color, em_tab,
+            tri_pack, bvh_box,
         )
     else:
         out = pl.pallas_call(

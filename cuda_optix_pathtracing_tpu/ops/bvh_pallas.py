@@ -59,11 +59,41 @@ from .intersect import BIG_T, MT_TOLERANCE, T_MIN, ClosestHit, closest_epilogue
 LANES = 128
 BLOCK_ROWS = 16  # rays per program = 2048 (sweep: 16 beats 8 at LEAF=16)
 STACK_DEPTH = 256
+LEAF_STACK_DEPTH = 8192  # in-flight leaf BLOCKS awaiting drain (LIFO);
+# bounded by the blocks a single tile has discovered but not yet
+# MT-tested — worst case the scene's whole block count. 32 KB SMEM.
+DRAIN = 4  # leaf blocks MT-tested per loop iteration (see tile_traverse)
 _TRI_SUB = 8  # triangles per packed row
 
 CODE_EMPTY = 0
 CODE_INTERNAL = 1
 CODE_LEAF = 2
+_BIG_BOX = 3.0e38
+
+
+def degen_tables(nodebox, nodemeta, tri_rows):
+    """Append the DEGENERATE rows the branchless pop-and-drain loop
+    substitutes when a stack runs dry (see tile_traverse): a node whose
+    8 child slabs are inverted (lo=+BIG, hi=−BIG → no ray ever hits →
+    its 16 meta slots, all CODE_EMPTY, are never *wanted*) and a
+    triangle block of zeros (e1 = 0 → det = 0 → parallel → no hit).
+    Their row ids are recovered statically inside the kernel as
+    ``shape[0] − 1``."""
+    degen_box = jnp.concatenate(
+        [
+            jnp.full((1, 24), _BIG_BOX, jnp.float32),
+            jnp.full((1, 24), -_BIG_BOX, jnp.float32),
+            jnp.zeros((1, LANES - 48), jnp.float32),
+        ],
+        axis=1,
+    )
+    return (
+        jnp.concatenate([nodebox, degen_box]),
+        jnp.concatenate([nodemeta, jnp.zeros((16,), nodemeta.dtype)]),
+        jnp.concatenate(
+            [tri_rows, jnp.zeros((1, LANES), tri_rows.dtype)]
+        ),
+    )
 
 
 def _mt_scalar_tri(o, d, row, c):
@@ -71,48 +101,89 @@ def _mt_scalar_tri(o, d, row, c):
 
     ``o``/``d`` are component tuples of (R, 128) planes. Returns
     (ok, t, u, v) as (R, 128) values."""
-    v0x = row[0, c]
-    v0y = row[0, 8 + c]
-    v0z = row[0, 16 + c]
-    e0x = row[0, 24 + c]
-    e0y = row[0, 32 + c]
-    e0z = row[0, 40 + c]
-    e1x = row[0, 48 + c]
-    e1y = row[0, 56 + c]
-    e1z = row[0, 64 + c]
-    px = d[1] * e1z - d[2] * e1y
-    py = d[2] * e1x - d[0] * e1z
-    pz = d[0] * e1y - d[1] * e1x
-    det = px * e0x + py * e0y + pz * e0z
-    parallel = jnp.abs(det) < MT_TOLERANCE
-    inv_det = 1.0 / jnp.where(parallel, 1.0, det)
-    tx = o[0] - v0x
-    ty = o[1] - v0y
-    tz = o[2] - v0z
-    qx = ty * e0z - tz * e0y
-    qy = tz * e0x - tx * e0z
-    qz = tx * e0y - ty * e0x
-    u = inv_det * (px * tx + py * ty + pz * tz)
-    v = inv_det * (qx * d[0] + qy * d[1] + qz * d[2])
-    t = inv_det * (qx * e1x + qy * e1y + qz * e1z)
-    ok = (
-        (~parallel)
-        & (u >= -MT_TOLERANCE)
-        & (v >= -MT_TOLERANCE)
-        & (u + v <= 1.0 + MT_TOLERANCE)
-        & (t > T_MIN)
-    )
+    ok, t, u, v = _mt_rows8(o, d, lambda lane: row[0, lane])
+    return ok[c], t[c], u[c], v[c]
+
+
+_R8 = range(_TRI_SUB)
+
+
+def _mt_rows8(o, d, getv):
+    """MT of ALL 8 triangles of one packed row against the whole tile.
+
+    ``getv(lane)`` fetches one scalar of the row — in the hot kernel it
+    is a STATIC SMEM read of a prefetched row (r5: each vreg→scalar
+    lane extract is a vector/scalar-unit sync; 72 of them per block
+    measured ~45% of bounce-tile traversal time, scripts/probe_* +
+    the NO_EXTRACT in-situ experiment: 8.0 → 14.0 Mrays/s).
+    Returns (ok, t, u, v) as lists of 8 (R, 128) values."""
+    ok, t, u, v = [], [], [], []
+    # per-triangle chain emission order (the 8-way step-interleaved
+    # form was measured ~5-15% SLOWER in situ — more simultaneous live
+    # temps; Mosaic schedules ILP fine on its own)
+    for c in _R8:
+        v0x, v0y, v0z = getv(c), getv(8 + c), getv(16 + c)
+        e0x, e0y, e0z = getv(24 + c), getv(32 + c), getv(40 + c)
+        e1x, e1y, e1z = getv(48 + c), getv(56 + c), getv(64 + c)
+        px = d[1] * e1z - d[2] * e1y
+        py = d[2] * e1x - d[0] * e1z
+        pz = d[0] * e1y - d[1] * e1x
+        det = px * e0x + py * e0y + pz * e0z
+        parallel = jnp.abs(det) < MT_TOLERANCE
+        inv_det = 1.0 / jnp.where(parallel, 1.0, det)
+        tx = o[0] - v0x
+        ty = o[1] - v0y
+        tz = o[2] - v0z
+        qx = ty * e0z - tz * e0y
+        qy = tz * e0x - tx * e0z
+        qz = tx * e0y - ty * e0x
+        uc = inv_det * (px * tx + py * ty + pz * tz)
+        vc = inv_det * (qx * d[0] + qy * d[1] + qz * d[2])
+        tc = inv_det * (qx * e1x + qy * e1y + qz * e1z)
+        okc = (
+            (~parallel)
+            & (uc >= -MT_TOLERANCE)
+            & (vc >= -MT_TOLERANCE)
+            & (uc + vc <= 1.0 + MT_TOLERANCE)
+            & (tc > T_MIN)
+        )
+        ok.append(okc)
+        t.append(tc)
+        u.append(uc)
+        v.append(vc)
     return ok, t, u, v
 
 
-def tile_traverse(mode, o, d, meta, nodebox, tri, stack, tmax=None, alive=None):
+def tile_traverse(mode, o, d, meta, nodebox, tri, stack, lstack,
+                  tmax=None, alive=None):
     """Shared-stack packet traversal of one ray tile, for use INSIDE a
     Pallas kernel (also called by the fused path-loop megakernel,
     models/megakernel_pallas.py).
 
     ``o``/``d`` are 3-tuples of (R, 128) planes; ``meta`` an SMEM ref,
-    ``nodebox``/``tri`` VMEM refs (PackedBVH layout), ``stack`` an SMEM
-    scratch of STACK_DEPTH i32.
+    ``nodebox``/``tri`` VMEM refs (PackedBVH layout **with the
+    degenerate rows of degen_tables appended**), ``stack`` an SMEM
+    scratch of STACK_DEPTH i32 (internal nodes only) and ``lstack`` an
+    SMEM scratch of LEAF_STACK_DEPTH i32 (pending leaf BLOCK rows).
+
+    r5 redesign — branchless pop-and-drain with SMEM row prefetch. The
+    r4 loop alternated node pops and leaf bodies behind a per-iteration
+    ``lax.cond`` and fetched every per-node/per-triangle scalar by
+    vreg lane extract. Two in-situ findings (scripts/xplane_prof.py +
+    the NO_EXTRACT experiment) drove this version: (1) per-iteration
+    control flow, not vector work, dominated the old loop; (2) the 72
+    lane extracts per MT block are vector/scalar-unit syncs costing as
+    much as the MT math itself on bounce tiles. So the loop now has NO
+    conditional control flow — every iteration unconditionally pops one
+    node and drains DRAIN leaf blocks, with DEGENERATE rows substituted
+    when a stack runs dry — Row data is fetched by (1,128)
+    vector load + static lane extracts — measured EQUAL to direct ref
+    scalar reads and to DMA-prefetched SMEM rows (r5 A/B: 24.5/8.0 vs
+    22.0/6.9 vs 22.6/7.0 Mrays/s camera/bounce), so the simplest form
+    is kept. In-situ cost fit (DRAIN sweep 2/4/8): ~185 ns per MT
+    block, ~1.3 µs per pop iteration — the pop cost is NOT explained
+    by isolated probes of any constituent (rolls, extracts, branches,
+    SMEM, DMA waits all measure fast); see docs/perf_notes.md r5.
 
     mode:
     - "closest": returns (t_best, i_best) — packed triangle row index.
@@ -136,6 +207,8 @@ def tile_traverse(mode, o, d, meta, nodebox, tri, stack, tmax=None, alive=None):
     invz = 1.0 / jnp.where(jnp.abs(d[2]) < tiny, tiny, d[2])
     anyhit = mode == "any"
     attrs = mode == "attrs"
+    degen_node = nodebox.shape[0] - 1
+    degen_block = tri.shape[0] - 1
 
     # Tile direction octant (majority sign) selects the far-to-near child
     # visit order. Tiles are octant-sorted (ops/raysort.py), so the
@@ -147,7 +220,6 @@ def tile_traverse(mode, o, d, meta, nodebox, tri, stack, tmax=None, alive=None):
         + 4 * (jnp.sum(d[2]) < 0.0).astype(jnp.int32)
     )
 
-    stack[0] = 0
     big = jnp.full(shape, BIG_T, jnp.float32)
     if alive is not None:
         big = jnp.where(alive, big, 0.0)
@@ -162,118 +234,111 @@ def tile_traverse(mode, o, d, meta, nodebox, tri, stack, tmax=None, alive=None):
     else:
         state0 = (big, zi)
 
-    def leaf_body(entry, ptr, *state):
-        base = -entry - 1  # triangle block row
-        for blk in range(LEAF_SIZE // _TRI_SUB):
-            row = tri[pl.ds(base + blk, 1), :]
-            if anyhit:
-                t_b, occ = state
-                hit_any = None
-                for c in range(_TRI_SUB):
-                    ok, t, _, _ = _mt_scalar_tri(o, d, row, c)
-                    h = ok & (t < tmax)
-                    hit_any = h if hit_any is None else (hit_any | h)
-                occ = occ | hit_any.astype(jnp.int32)
-                state = (t_b, occ)
-                continue
-            # The 8 tris are data-independent: evaluate them all, then a
-            # pairwise min-TREE picks the block winner, and the carried
-            # best is updated ONCE. A sequential where-chain here put
-            # ~3 dependent ops per triangle on the loop-carried critical
-            # path (~25 ns each on the VPU) — the tree form keeps the
-            # chain at log2(8)+1 steps per block.
-            cand = []
-            for c in range(_TRI_SUB):
-                ok, t, u, v = _mt_scalar_tri(o, d, row, c)
-                cand.append((jnp.where(ok, t, BIG_T), jnp.int32(c), u, v))
-            while len(cand) > 1:
-                nxt = []
-                for j in range(0, len(cand), 2):
-                    ta, ca, ua, va = cand[j]
-                    tb, cb, ub, vb = cand[j + 1]
-                    sel = ta <= tb
-                    nxt.append((
-                        jnp.minimum(ta, tb),
-                        jnp.where(sel, ca, cb),
-                        jnp.where(sel, ua, ub),
-                        jnp.where(sel, va, vb),
-                    ))
-                cand = nxt
-            t_w, c_w, u_w, v_w = cand[0]
-            if attrs:
-                (t_b, u_b, v_b, m_b, p0x, p0y, p0z,
-                 e0x_, e0y_, e0z_, e1x_, e1y_, e1z_) = state
-                better = t_w < t_b
-                # winner attribute rows: 8-way scalar select by c_w
-                sels = []
-                for lane0 in (72, 0, 8, 16, 24, 32, 40, 48, 56, 64):
-                    acc = row[0, lane0] * (c_w == 0).astype(jnp.float32)
-                    for c in range(1, _TRI_SUB):
-                        acc = acc + row[0, lane0 + c] * (
-                            c_w == c
-                        ).astype(jnp.float32)
-                    sels.append(acc)
-                state = (
-                    jnp.where(better, t_w, t_b),
-                    jnp.where(better, u_w, u_b),
-                    jnp.where(better, v_w, v_b),
-                    jnp.where(better, sels[0], m_b),
-                    jnp.where(better, sels[1], p0x),
-                    jnp.where(better, sels[2], p0y),
-                    jnp.where(better, sels[3], p0z),
-                    jnp.where(better, sels[4], e0x_),
-                    jnp.where(better, sels[5], e0y_),
-                    jnp.where(better, sels[6], e0z_),
-                    jnp.where(better, sels[7], e1x_),
-                    jnp.where(better, sels[8], e1y_),
-                    jnp.where(better, sels[9], e1z_),
-                )
-            else:
-                t_b, i_b = state
-                better = t_w < t_b
-                tid = (base + blk) * _TRI_SUB + c_w
-                state = (
-                    jnp.where(better, t_w, t_b),
-                    jnp.where(better, tid, i_b),
-                )
-        return (ptr,) + state
+    def mt_block(getv, base, limit):
+        """One 8-tri packed row → per-mode block result. ``getv(lane)``
+        reads the prefetched row's scalars (static SMEM); ``base`` is
+        the block row id (for the closest-mode triangle index)."""
+        ok8, t8, u8, v8 = _mt_rows8(o, d, getv)
+        if anyhit:
+            hit = [ok8[c] & (t8[c] < tmax) for c in range(_TRI_SUB)]
+            while len(hit) > 1:
+                hit = [
+                    hit[j] | hit[j + 1] for j in range(0, len(hit), 2)
+                ]
+            return hit[0].astype(jnp.int32)
+        # data-independent 8-candidate min-tree (log2(8) dependency
+        # depth); the carried best is merged ONCE per drain batch
+        cand = [
+            (jnp.where(ok8[c], t8[c], BIG_T), jnp.int32(c), u8[c], v8[c])
+            for c in range(_TRI_SUB)
+        ]
+        while len(cand) > 1:
+            nxt = []
+            for j in range(0, len(cand), 2):
+                ta, ca, ua, va = cand[j]
+                tb, cb, ub, vb = cand[j + 1]
+                sel = ta <= tb
+                nxt.append((
+                    jnp.minimum(ta, tb),
+                    jnp.where(sel, ca, cb),
+                    jnp.where(sel, ua, ub),
+                    jnp.where(sel, va, vb),
+                ))
+            cand = nxt
+        t_w, c_w, u_w, v_w = cand[0]
+        if attrs:
+            # winner attribute rows: 8-way scalar select by c_w
+            sels = []
+            for lane0 in (72, 0, 8, 16, 24, 32, 40, 48, 56, 64):
+                acc = getv(lane0) * (c_w == 0).astype(jnp.float32)
+                for c in range(1, _TRI_SUB):
+                    acc = acc + getv(lane0 + c) * (
+                        c_w == c
+                    ).astype(jnp.float32)
+                sels.append(acc)
+            return (t_w, u_w, v_w) + tuple(sels)
+        tid = base * _TRI_SUB + c_w
+        return t_w, tid
 
-    def node_body(entry, ptr, *state):
-        node = entry
-        row = nodebox[pl.ds(node, 1), :]
+    def merge_two(a, b):
+        """Tree-merge two block results (closest/attrs tuples)."""
+        sel = a[0] <= b[0]
+        return tuple(
+            jnp.minimum(a[0], b[0]) if i == 0 else jnp.where(sel, a[i], b[i])
+            for i in range(len(a))
+        )
+
+    db = jnp.int32(degen_block)
+
+    def body(carry):
+        nptr, lptr = carry[0], carry[1]
+        state = carry[2:]
         if anyhit:
             # rays already occluded contribute nothing (limit -1)
             limit = jnp.where(state[1] > 0, -1.0, tmax)
         else:
             limit = state[0]
-        hm = jnp.zeros(shape, jnp.int32)
-        for c in range(8):
-            lox = row[0, c]
-            loy = row[0, 8 + c]
-            loz = row[0, 16 + c]
-            hix = row[0, 24 + c]
-            hiy = row[0, 32 + c]
-            hiz = row[0, 40 + c]
-            t0x = (lox - o[0]) * invx
-            t1x = (hix - o[0]) * invx
-            t0y = (loy - o[1]) * invy
-            t1y = (hiy - o[1]) * invy
-            t0z = (loz - o[2]) * invz
-            t1z = (hiz - o[2]) * invz
-            tn = jnp.maximum(
-                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-                jnp.maximum(jnp.minimum(t0z, t1z), T_MIN),
+
+        # --- (a) node pop (degenerate no-hit node when stack is dry):
+        # slab-test its 8 children against the whole tile ---
+        pnode = jnp.where(
+            nptr > 0, stack[jnp.maximum(nptr - 1, 0)], degen_node
+        )
+        nptr = jnp.maximum(nptr - 1, 0)
+        nrow = nodebox[pl.ds(pnode, 1), :]
+        r8 = range(8)
+        nb = lambda lane: nrow[0, lane]  # noqa: E731
+        t0x = [(nb(c) - o[0]) * invx for c in r8]
+        t1x = [(nb(24 + c) - o[0]) * invx for c in r8]
+        t0y = [(nb(8 + c) - o[1]) * invy for c in r8]
+        t1y = [(nb(32 + c) - o[1]) * invy for c in r8]
+        t0z = [(nb(16 + c) - o[2]) * invz for c in r8]
+        t1z = [(nb(40 + c) - o[2]) * invz for c in r8]
+        tn = [
+            jnp.maximum(
+                jnp.maximum(
+                    jnp.minimum(t0x[c], t1x[c]), jnp.minimum(t0y[c], t1y[c])
+                ),
+                jnp.maximum(jnp.minimum(t0z[c], t1z[c]), T_MIN),
             )
-            tf = jnp.minimum(
-                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-                jnp.minimum(jnp.maximum(t0z, t1z), limit),
+            for c in r8
+        ]
+        tf = [
+            jnp.minimum(
+                jnp.minimum(
+                    jnp.maximum(t0x[c], t1x[c]), jnp.maximum(t0y[c], t1y[c])
+                ),
+                jnp.minimum(jnp.maximum(t0z[c], t1z[c]), limit),
             )
-            hm = hm | ((tn <= tf).astype(jnp.int32) << c)
-        # OR-reduce hm to one scalar via a roll tree: the former 8
-        # per-child jnp.any readbacks each synchronized the scalar unit
-        # with a full-vector reduction; one log-depth OR tree + a single
-        # element extract is ~10-20% whole-kernel throughput (measured:
-        # camera 24.1 -> 26.5 Mrays/s, sorted bounce 7.0 -> 8.3).
+            for c in r8
+        ]
+        hmb = [(tn[c] <= tf[c]).astype(jnp.int32) << c for c in r8]
+        while len(hmb) > 1:
+            hmb = [hmb[j] | hmb[j + 1] for j in range(0, len(hmb), 2)]
+        hm = hmb[0]
+        # OR-reduce hm to ONE scalar via a roll tree (a single
+        # vector→scalar readback per iteration; per-child jnp.any
+        # readbacks measured 10-20% whole-kernel throughput)
         for shift in (64, 32, 16, 8, 4, 2, 1):
             hm = hm | pltpu.roll(hm, shift, 1)
         sub = 1
@@ -282,35 +347,62 @@ def tile_traverse(mode, o, d, meta, nodebox, tri, stack, tmax=None, alive=None):
             sub *= 2
         hitmask = hm[0, 0]
 
-        pc = meta[node * 16 + 8 + oct_]
-        new_ptr = ptr
-        # branchless pushes: always store, conditionally advance
+        # --- (b) drain DRAIN leaf blocks discovered by EARLIER pops
+        # (degenerate all-miss rows substitute when lstack is dry) ---
+        blk_res = []
+        for j in range(DRAIN):
+            idx = lptr - 1 - j
+            base = jnp.where(idx >= 0, lstack[jnp.maximum(idx, 0)], db)
+            lrow = tri[pl.ds(base, 1), :]
+            blk_res.append(
+                mt_block(lambda lane, r=lrow: r[0, lane], base, limit)
+            )
+        lptr = jnp.maximum(lptr - DRAIN, 0)
+
+        # --- pushes: branchless store + conditional advance ---
+        pc = meta[pnode * 16 + 8 + oct_]
         for k in range(8):
             ch = (pc >> (3 * k)) & 7
-            w = meta[node * 16 + ch]
+            w = meta[pnode * 16 + ch]
             code = w & 63
             payload = lax.shift_right_logical(w, 6)
-            wanted = (((hitmask >> ch) & 1) > 0) & (code != CODE_EMPTY)
-            enc = jnp.where(code == CODE_LEAF, -payload - 1, payload)
-            stack[new_ptr] = enc
-            new_ptr = new_ptr + wanted.astype(jnp.int32)
-        return (new_ptr,) + state
+            hit_k = ((hitmask >> ch) & 1) > 0
+            pn = (hit_k & (code == CODE_INTERNAL)).astype(jnp.int32)
+            stack[nptr] = payload
+            nptr = nptr + pn
+            plf = (hit_k & (code == CODE_LEAF)).astype(jnp.int32)
+            for b in range(LEAF_SIZE // _TRI_SUB):
+                lstack[lptr] = payload + b
+                lptr = lptr + plf
 
-    def body(carry):
-        ptr = carry[0]
-        entry = stack[ptr - 1]
-        ptr = ptr - 1
-        return lax.cond(
-            entry < 0, leaf_body, node_body, entry, ptr, *carry[1:]
-        )
+        # --- merge the drained blocks into the carried state ---
+        if anyhit:
+            t_b, occ = state
+            hit_any = blk_res[0]
+            for r in blk_res[1:]:
+                hit_any = hit_any | r
+            state = (t_b, occ | hit_any)
+        else:
+            while len(blk_res) > 1:
+                blk_res = [
+                    merge_two(blk_res[j], blk_res[j + 1])
+                    for j in range(0, len(blk_res), 2)
+                ]
+            win = blk_res[0]
+            better = win[0] < state[0]
+            state = tuple(
+                jnp.where(better, win[i], state[i])
+                for i in range(len(state))
+            )
+        return (nptr, lptr) + state
 
     def cond(carry):
-        keep = carry[0] > 0
+        keep = (carry[0] > 0) | (carry[1] > 0)
         if anyhit:
             # whole-tile early exit once every ray has found an occluder
             # (min-roll-tree + one extract, not jnp.all — same readback
             # economics as the hitmask OR tree above)
-            mn = carry[2]
+            mn = carry[3]
             for shift in (64, 32, 16, 8, 4, 2, 1):
                 mn = jnp.minimum(mn, pltpu.roll(mn, shift, 1))
             sub = 1
@@ -320,37 +412,41 @@ def tile_traverse(mode, o, d, meta, nodebox, tri, stack, tmax=None, alive=None):
             keep = keep & (mn[0, 0] == 0)
         return keep
 
-    out = lax.while_loop(cond, body, (jnp.int32(1),) + state0)
+    stack[0] = 0  # root
+    out = lax.while_loop(
+        cond, body, (jnp.int32(1), jnp.int32(0)) + state0
+    )
+    s0 = 2
     if anyhit:
-        return out[2]
+        return out[s0 + 1]
     if attrs:
-        t_b, u_b, v_b, m_b = out[1], out[2], out[3], out[4]
-        p0 = (out[5], out[6], out[7])
-        e0 = (out[8], out[9], out[10])
-        e1 = (out[11], out[12], out[13])
+        t_b, u_b, v_b, m_b = out[s0], out[s0 + 1], out[s0 + 2], out[s0 + 3]
+        p0 = (out[s0 + 4], out[s0 + 5], out[s0 + 6])
+        e0 = (out[s0 + 7], out[s0 + 8], out[s0 + 9])
+        e1 = (out[s0 + 10], out[s0 + 11], out[s0 + 12])
         return t_b, u_b, v_b, m_b, p0, e0, e1
-    return out[1], out[2]
+    return out[s0], out[s0 + 1]
 
 
 def _traverse_kernel(
     anyhit: bool,
-    meta,  # SMEM (M*16,) i32
+    meta,  # SMEM ((M+1)*16,) i32 (degen row appended)
     ox, oy, oz, dx, dy, dz, tmax,  # VMEM ray planes (BLOCK_ROWS, 128)
-    nodebox, tri,  # VMEM tables
+    nodebox, tri,  # VMEM tables (degen rows appended)
     out_t, out_i,  # VMEM outputs (BLOCK_ROWS, LANES)
-    stack,  # SMEM scratch
+    stack, lstack,  # scratch
 ):
     o = (ox[...], oy[...], oz[...])
     d = (dx[...], dy[...], dz[...])
     if anyhit:
         occ = tile_traverse(
-            "any", o, d, meta, nodebox, tri, stack, tmax=tmax[...]
+            "any", o, d, meta, nodebox, tri, stack, lstack, tmax=tmax[...]
         )
         out_t[...] = jnp.full(o[0].shape, BIG_T, jnp.float32)
         out_i[...] = occ
     else:
         t_best, i_best = tile_traverse(
-            "closest", o, d, meta, nodebox, tri, stack
+            "closest", o, d, meta, nodebox, tri, stack, lstack
         )
         out_t[...] = t_best
         out_i[...] = i_best
@@ -384,6 +480,7 @@ def _call(anyhit, planes, nodebox, nodemeta, tri_rows, rows, interpret=False):
     )
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    nodebox, nodemeta, tri_rows = degen_tables(nodebox, nodemeta, tri_rows)
     return pl.pallas_call(
         functools.partial(_traverse_kernel, anyhit),
         grid=(grid,),
@@ -395,6 +492,7 @@ def _call(anyhit, planes, nodebox, nodemeta, tri_rows, rows, interpret=False):
         ],
         scratch_shapes=[
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.SMEM((LEAF_STACK_DEPTH,), jnp.int32),
         ],
         interpret=interpret,
     )(nodemeta, *planes, nodebox, tri_rows)

@@ -17,6 +17,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 LEAF = int(sys.argv[1])
 ROWS = int(sys.argv[2])
+DRAIN = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 
 import cuda_optix_pathtracing_tpu.ops.bvh as B
 import cuda_optix_pathtracing_tpu.ops.bvh_pallas as BP
@@ -24,6 +25,7 @@ import cuda_optix_pathtracing_tpu.ops.bvh_pallas as BP
 B.LEAF_SIZE = LEAF
 BP.LEAF_SIZE = LEAF
 BP.BLOCK_ROWS = ROWS
+BP.DRAIN = DRAIN
 
 from cuda_optix_pathtracing_tpu.scene.procedural import cornell_box_mesh
 from cuda_optix_pathtracing_tpu.ops.camera import generate_rays, pixel_centers
@@ -49,7 +51,7 @@ def main():
     p_film = pixel_centers(w, h)
     o, d = generate_rays(p_film, scene.cam_from_raster, scene.world_from_cam)
     tri_rows = BP.tri_rows_pack(scene.tri_v0, scene.tri_e0, scene.tri_e1)
-    print(f"LEAF={LEAF} ROWS={ROWS}: {scene.tri_v0.shape[0]} rows, "
+    print(f"LEAF={LEAF} ROWS={ROWS} DRAIN={DRAIN}: {scene.tri_v0.shape[0]} rows, "
           f"{scene.bvh.num_nodes} nodes, tri_vmem={tri_rows.nbytes/1e6:.2f}MB")
 
     f = jax.jit(lambda o, d: BP.bvh_closest_raw(
