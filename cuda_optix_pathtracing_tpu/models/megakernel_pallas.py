@@ -74,6 +74,8 @@ BLOCK_ROWS_BVH = 8  # packet traversal wants SMALL tiles: a shared stack
 # descends the union frustum, so fewer rays per tile = tighter culling
 
 U32 = jnp.uint32
+_DEBUG_SKIP_SHADOW = False  # perf attribution only: drops the in-kernel
+# shadow traversal (image is wrong); see scripts/sorted_fused_perf.py
 PI = 3.14159265358979
 INV_PI = 1.0 / PI
 GAMMA7 = float(7 * 5.960464477539063e-08 / (1.0 - 7 * 5.960464477539063e-08))
@@ -425,11 +427,25 @@ def _pt_kernel(
     max_depth: int,
     rr_start_depth: int,
     e_coeffs,  # (coef2d np, coef1d np, deg) baked as Python constants
-    # --- refs (two layouts, see trace_paths_fused) ---
+    depth0,  # None = full in-kernel path loop; int = SINGLE-depth mode:
+    # one bounce at this static depth with path state streamed in/out so
+    # the host can re-sort rays between depths (trace_paths_fused_sorted)
+    # --- refs (three layouts, see trace_paths_fused) ---
     *refs,
 ):
     coef2d, coef1d, deg = e_coeffs
-    if use_bvh:
+    single = depth0 is not None
+    if single:
+        assert use_bvh, "single-depth mode is the BVH wavefront path"
+        (ox, oy, oz, dx, dy, dz, pxr, pyr, smp,
+         ibr, ibg, ibb, irr_, irg, irb, ialv, iins, ieta, ippdf, ipdel,
+         nodemeta, mat_tab, light_tab, env, em_tab,
+         tri, nodebox,
+         oox, ooy, ooz, odx, ody, odz, obr, obg, obb,
+         orr, org, orb, oalv, oins, oeta, oppdf, opdel,
+         stack, lstack) = refs
+        mat_id_tab = None
+    elif use_bvh:
         (ox, oy, oz, dx, dy, dz, pxr, pyr, smp,
          nodemeta, mat_tab, light_tab, env, em_tab,
          tri, nodebox, lr, lg, lb, stack, lstack) = refs
@@ -445,12 +461,6 @@ def _pt_kernel(
     py = pyr[...]
     sample_seed = smp[...]
     shape = o[0].shape
-
-    beta = tuple(jnp.ones(shape, jnp.float32) for _ in range(3))
-    radiance = tuple(jnp.zeros(shape, jnp.float32) for _ in range(3))
-    alive_i = jnp.ones(shape, jnp.int32)
-    inside_i = jnp.zeros(shape, jnp.int32)
-    eta_scale = jnp.ones(shape, jnp.float32)
 
     env_r = env[0]
     env_g = env[1]
@@ -1016,7 +1026,10 @@ def _pt_kernel(
         alive = alive_i > 0
         inside = inside_i > 0
         prev_delta = prev_delta_i > 0
-        depth_dim = depth.astype(U32) * U32(24)  # DIMS_PER_BOUNCE
+        if isinstance(depth, int):  # single-depth mode: static dims
+            depth_dim = U32(depth * 24)  # DIMS_PER_BOUNCE
+        else:
+            depth_dim = depth.astype(U32) * U32(24)
 
         hit, t_hit, mat_id, pos, ng, err = closest_hit(o, d, alive)
 
@@ -1126,7 +1139,10 @@ def _pt_kernel(
          ) = eval_and_sample(mat, wo, ng, inside, ldir, u1b, u2b, ucb)
 
         shadow_o = offset_origin(pos, err, ng, ldir)
-        occluded = any_hit(shadow_o, ldir, ldist, alive)
+        if _DEBUG_SKIP_SHADOW:  # timing-only attribution (wrong image)
+            occluded = jnp.zeros(shape, jnp.bool_)
+        else:
+            occluded = any_hit(shadow_o, ldir, ldist, alive)
         ok = (lpdf > 0.0) & ~occluded & alive
         # point/spot rows: NEE-only delta-ish emitters → le·f/pmf.
         # area rows: scene geometry → one-sample power-heuristic MIS on
@@ -1165,16 +1181,21 @@ def _pt_kernel(
         )
 
         # russian roulette (megakernel.cu:283-295 parity with megakernel.py)
-        rr_beta = jnp.maximum(jnp.maximum(beta[0], beta[1]), beta[2]) * eta_scale
-        u_rr = rng_1d(px, py, sample_seed, depth_dim + U32(8))  # RR
-        q = jnp.maximum(0.0, 1.0 - rr_beta)
-        do_rr = (rr_beta < 1.0) & (depth >= rr_start_depth)
-        killed = do_rr & (u_rr < q)
-        surv = jnp.where(
-            do_rr & ~killed, 1.0 / jnp.maximum(1.0 - q, 1e-6), 1.0
-        )
-        beta = (beta[0] * surv, beta[1] * surv, beta[2] * surv)
-        alive = alive & ~killed
+        if not (isinstance(depth, int) and depth < rr_start_depth):
+            rr_beta = jnp.maximum(
+                jnp.maximum(beta[0], beta[1]), beta[2]
+            ) * eta_scale
+            u_rr = rng_1d(px, py, sample_seed, depth_dim + U32(8))  # RR
+            q = jnp.maximum(0.0, 1.0 - rr_beta)
+            do_rr = rr_beta < 1.0
+            if not isinstance(depth, int):
+                do_rr = do_rr & (depth >= rr_start_depth)
+            killed = do_rr & (u_rr < q)
+            surv = jnp.where(
+                do_rr & ~killed, 1.0 / jnp.maximum(1.0 - q, 1e-6), 1.0
+            )
+            beta = (beta[0] * surv, beta[1] * surv, beta[2] * surv)
+            alive = alive & ~killed
 
         o = vwhere(alive, o_new, o)
         d = vwhere(alive, bs_wi, d)
@@ -1186,6 +1207,32 @@ def _pt_kernel(
             prev_pdf, prev_delta.astype(jnp.int32),
         )
 
+    if single:
+        carry = (
+            o, d,
+            (ibr[...], ibg[...], ibb[...]),
+            (irr_[...], irg[...], irb[...]),
+            ialv[...], iins[...], ieta[...], ippdf[...], ipdel[...],
+        )
+        (o2, d2, beta2, rad2, alv2, ins2, eta2, ppdf2, pdel2) = bounce(
+            depth0, carry
+        )
+        oox[...], ooy[...], ooz[...] = o2[0], o2[1], o2[2]
+        odx[...], ody[...], odz[...] = d2[0], d2[1], d2[2]
+        obr[...], obg[...], obb[...] = beta2[0], beta2[1], beta2[2]
+        orr[...], org[...], orb[...] = rad2[0], rad2[1], rad2[2]
+        oalv[...] = alv2
+        oins[...] = ins2
+        oeta[...] = eta2
+        oppdf[...] = ppdf2
+        opdel[...] = pdel2
+        return
+
+    beta = tuple(jnp.ones(shape, jnp.float32) for _ in range(3))
+    radiance = tuple(jnp.zeros(shape, jnp.float32) for _ in range(3))
+    alive_i = jnp.ones(shape, jnp.int32)
+    inside_i = jnp.zeros(shape, jnp.int32)
+    eta_scale = jnp.ones(shape, jnp.float32)
     prev_pdf0 = jnp.ones(shape, jnp.float32)
     prev_delta0 = jnp.ones(shape, jnp.int32)  # camera counts as delta
     carry = (
@@ -1380,6 +1427,7 @@ def trace_paths_fused(
         max_depth,
         rr_start_depth,
         (np.asarray(e_coeffs[0]), np.asarray(e_coeffs[1]), e_coeffs[2]),
+        None,
     )
 
     if use_bvh:
@@ -1426,3 +1474,163 @@ def trace_paths_fused(
         )(*planes, tri, mat_ids, mat_tab, light_tab, env_color, em_tab)
     radiance = jnp.stack([p.reshape(-1)[:n] for p in out], axis=-1)
     return radiance
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_depth", "rr_start_depth", "seed", "interpret", "conductor",
+    ),
+)
+def trace_paths_fused_sorted(
+    scene: Scene,
+    px,
+    py,
+    sample,
+    o,
+    d,
+    max_depth: int = 5,
+    rr_start_depth: int = 2,
+    seed: int = 0,
+    interpret: bool = False,
+    conductor: bool = True,
+):
+    """Depth-sorted fused wavefront: ONE bounce kernel per depth with an
+    XLA ray re-sort between depths.
+
+    This is the r5 answer to the mesh-BVH throughput gap (VERDICT r4
+    next-1): the whole-path fused kernel loses 4.5× on mesh scenes
+    because its bounce tiles decohere with no way to re-sort inside one
+    kernel, while the XLA wavefront pays ~50% of its pass time in
+    per-depth shading fusions, separate anyhit dispatches and copies
+    (xplane breakdown, docs/perf_notes.md r5). Here each depth runs the
+    ENTIRE bounce — packet-BVH closest hit, NEE + in-kernel shadow
+    traversal, BSDF sample, RR — as one Pallas kernel over
+    octant/Morton-sorted tiles, and the only XLA work between depths is
+    one co-sort of the path state (the reference wavefront-stream's
+    queue regrouping, wavefront-stream/main.cu:221-319, recast as a
+    sort). Depth 0 skips the sort: camera rays arrive pixel-ordered.
+
+    Same feature scope as trace_paths_fused (pallas_megakernel_supported)
+    restricted to BVH scenes; forward-only."""
+    assert scene.bvh is not None, "sorted mode is for BVH scenes"
+    from ..ops.raysort import ray_sort_key, scene_bounds
+
+    n = o.shape[0]
+    block = BLOCK_ROWS_BVH * LANES
+    pad = (-n) % block
+    npad = n + pad
+    sample_seed = jnp.broadcast_to(
+        jnp.asarray(sample, U32) ^ U32(seed), (n,)
+    ).astype(U32)
+
+    def padf(x, val=0.0):
+        if not pad:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((pad,), val, x.dtype)]
+        )
+
+    zf = jnp.zeros((npad,), jnp.float32)
+    onef = jnp.ones((npad,), jnp.float32)
+    state = (
+        padf(o[:, 0]), padf(o[:, 1]), padf(o[:, 2]),
+        padf(d[:, 0]), padf(d[:, 1]), padf(d[:, 2]),
+        onef, onef, onef,  # beta
+        zf, zf, zf,  # radiance
+        padf(jnp.ones((n,), jnp.int32), 0),  # alive (pad rays dead)
+        jnp.zeros((npad,), jnp.int32),  # inside
+        onef,  # eta_scale
+        onef,  # prev_pdf
+        jnp.ones((npad,), jnp.int32),  # prev_delta (camera = delta)
+    )
+    keyed = (
+        padf(px.astype(U32), 0),
+        padf(py.astype(U32), 0),
+        padf(sample_seed, 0),
+        jnp.arange(npad, dtype=U32),  # original slot (final unsort)
+    )
+
+    mat_tab, light_tab, env_color, em_tab = _shade_tables(scene)
+    n_mats = mat_tab.shape[1]
+    n_lights = light_tab.shape[1]
+    n_emissive = (
+        scene.emissive.v0.shape[0] if scene.emissive is not None else 0
+    )
+    tri_pack = tri_rows_pack(
+        scene.tri_v0, scene.tri_e0, scene.tri_e1, scene.tri_mat
+    )
+    bvh_box, bvh_meta, tri_pack = degen_tables(
+        scene.bvh.box, scene.bvh.meta, tri_pack
+    )
+    blo, bhi = scene_bounds(scene.tri_v0, scene.tri_e0, scene.tri_e1)
+
+    rows = npad // LANES
+    grid = rows // BLOCK_ROWS_BVH
+    ray_spec = pl.BlockSpec(
+        (BLOCK_ROWS_BVH, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    e_coeffs = _e_poly_coeffs()
+    e_np = (np.asarray(e_coeffs[0]), np.asarray(e_coeffs[1]), e_coeffs[2])
+    n_tris = scene.tri_v0.shape[0]
+
+    # output order: o(3) d(3) beta(3) rad(3) alive inside eta ppdf pdel
+    out_shapes = (
+        [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 12
+        + [
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        ]
+    )
+
+    for depth in range(max_depth):
+        if depth > 0:
+            o3 = jnp.stack(state[0:3], axis=1)
+            d3 = jnp.stack(state[3:6], axis=1)
+            key = ray_sort_key(o3, d3, blo, bhi, state[12] > 0)
+            srt = lax.sort((key,) + state + keyed, num_keys=1, is_stable=True)
+            state = srt[1:18]
+            keyed = srt[18:]
+        kern = functools.partial(
+            _pt_kernel, True, conductor, n_tris, n_mats, n_lights,
+            n_emissive, max_depth, rr_start_depth, e_np, depth,
+        )
+        planes = [
+            a.reshape(rows, LANES)
+            for a in (
+                state[0:6] + keyed[0:3] + state[6:17]
+            )
+        ]
+        outs = pl.pallas_call(
+            kern,
+            grid=(grid,),
+            in_specs=[ray_spec] * 20 + [smem] * 5 + [full] * 2,
+            out_specs=[ray_spec] * 17,
+            out_shape=out_shapes,
+            scratch_shapes=[
+                pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+                pltpu.SMEM((LEAF_STACK_DEPTH,), jnp.int32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=int(rows) * LANES * 40_000,
+                bytes_accessed=int(rows) * LANES * 40 * 4
+                + int(grid) * (tri_pack.size + bvh_box.size) * 4,
+                transcendentals=int(rows) * LANES * 12,
+            ),
+            interpret=interpret,
+        )(
+            *planes, bvh_meta, mat_tab, light_tab, env_color, em_tab,
+            tri_pack, bvh_box,
+        )
+        state = tuple(p.reshape(-1) for p in outs)
+
+    # radiance back to original ray order: one co-sort by slot id
+    _, r0, r1, r2 = lax.sort(
+        (keyed[3],) + tuple(state[9:12]), num_keys=1
+    )
+    return jnp.stack([r0[:n], r1[:n], r2[:n]], axis=-1)

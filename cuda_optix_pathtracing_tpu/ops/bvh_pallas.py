@@ -63,6 +63,10 @@ LEAF_STACK_DEPTH = 8192  # in-flight leaf BLOCKS awaiting drain (LIFO);
 # bounded by the blocks a single tile has discovered but not yet
 # MT-tested — worst case the scene's whole block count. 32 KB SMEM.
 DRAIN = 4  # leaf blocks MT-tested per loop iteration (see tile_traverse)
+UNROLL = 1  # pop-and-drain steps per while_loop cond evaluation
+NODES_SMEM = True  # node slabs as a flat SMEM table when they fit: the
+# pop's 48 slab scalars become ~3 ns dynamic SMEM reads instead of a
+# data-dependent VMEM row load (r5 experiment)
 _TRI_SUB = 8  # triangles per packed row
 
 CODE_EMPTY = 0
@@ -207,7 +211,10 @@ def tile_traverse(mode, o, d, meta, nodebox, tri, stack, lstack,
     invz = 1.0 / jnp.where(jnp.abs(d[2]) < tiny, tiny, d[2])
     anyhit = mode == "any"
     attrs = mode == "attrs"
-    degen_node = nodebox.shape[0] - 1
+    if len(nodebox.shape) == 1:  # flat SMEM node table (48 f32 per node)
+        degen_node = nodebox.shape[0] // 48 - 1
+    else:
+        degen_node = nodebox.shape[0] - 1
     degen_block = tri.shape[0] - 1
 
     # Tile direction octant (majority sign) selects the far-to-near child
@@ -305,9 +312,16 @@ def tile_traverse(mode, o, d, meta, nodebox, tri, stack, lstack,
             nptr > 0, stack[jnp.maximum(nptr - 1, 0)], degen_node
         )
         nptr = jnp.maximum(nptr - 1, 0)
-        nrow = nodebox[pl.ds(pnode, 1), :]
         r8 = range(8)
-        nb = lambda lane: nrow[0, lane]  # noqa: E731
+        if nodebox.shape == (nodebox.shape[0],) or len(nodebox.shape) == 1:
+            # flat SMEM node table (node*48 + lane): scalar reads with a
+            # fully dynamic index (~3 ns each) replace the data-dependent
+            # VMEM row load whose latency can't be prefetched
+            nbase = pnode * 48
+            nb = lambda lane: nodebox[nbase + lane]  # noqa: E731
+        else:
+            nrow = nodebox[pl.ds(pnode, 1), :]
+            nb = lambda lane: nrow[0, lane]  # noqa: E731
         t0x = [(nb(c) - o[0]) * invx for c in r8]
         t1x = [(nb(24 + c) - o[0]) * invx for c in r8]
         t0y = [(nb(8 + c) - o[1]) * invy for c in r8]
@@ -412,9 +426,19 @@ def tile_traverse(mode, o, d, meta, nodebox, tri, stack, lstack,
             keep = keep & (mn[0, 0] == 0)
         return keep
 
+    def body_n(carry):
+        # UNROLL pop-and-drain steps per while_loop cond check: the cond
+        # runs on the scalar core between iterations and acts as a
+        # vector/scalar sync barrier; unrolling amortizes it. Dry stacks
+        # substitute degenerate rows, so over-running is correct (and
+        # costs at most UNROLL-1 no-op steps at drain-out).
+        for _ in range(UNROLL):
+            carry = body(carry)
+        return carry
+
     stack[0] = 0  # root
     out = lax.while_loop(
-        cond, body, (jnp.int32(1), jnp.int32(0)) + state0
+        cond, body_n, (jnp.int32(1), jnp.int32(0)) + state0
     )
     s0 = 2
     if anyhit:
@@ -481,10 +505,15 @@ def _call(anyhit, planes, nodebox, nodemeta, tri_rows, rows, interpret=False):
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     nodebox, nodemeta, tri_rows = degen_tables(nodebox, nodemeta, tri_rows)
+    if NODES_SMEM and nodebox.shape[0] * 192 <= 200 * 1024:
+        nodebox = nodebox[:, :48].reshape(-1)
+        node_spec = smem
+    else:
+        node_spec = full
     return pl.pallas_call(
         functools.partial(_traverse_kernel, anyhit),
         grid=(grid,),
-        in_specs=[smem] + [ray_spec] * 7 + [full] * 2,
+        in_specs=[smem] + [ray_spec] * 7 + [node_spec, full],
         out_specs=[ray_spec, ray_spec],
         out_shape=[
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),

@@ -18,6 +18,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 LEAF = int(sys.argv[1])
 ROWS = int(sys.argv[2])
 DRAIN = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+UNROLL = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
 import cuda_optix_pathtracing_tpu.ops.bvh as B
 import cuda_optix_pathtracing_tpu.ops.bvh_pallas as BP
@@ -26,6 +27,7 @@ B.LEAF_SIZE = LEAF
 BP.LEAF_SIZE = LEAF
 BP.BLOCK_ROWS = ROWS
 BP.DRAIN = DRAIN
+BP.UNROLL = UNROLL
 
 from cuda_optix_pathtracing_tpu.scene.procedural import cornell_box_mesh
 from cuda_optix_pathtracing_tpu.ops.camera import generate_rays, pixel_centers
@@ -51,13 +53,19 @@ def main():
     p_film = pixel_centers(w, h)
     o, d = generate_rays(p_film, scene.cam_from_raster, scene.world_from_cam)
     tri_rows = BP.tri_rows_pack(scene.tri_v0, scene.tri_e0, scene.tri_e1)
-    print(f"LEAF={LEAF} ROWS={ROWS} DRAIN={DRAIN}: {scene.tri_v0.shape[0]} rows, "
+    print(f"LEAF={LEAF} ROWS={ROWS} DRAIN={DRAIN} UNROLL={UNROLL}: {scene.tri_v0.shape[0]} rows, "
           f"{scene.bvh.num_nodes} nodes, tri_vmem={tri_rows.nbytes/1e6:.2f}MB")
 
     f = jax.jit(lambda o, d: BP.bvh_closest_raw(
         o, d, scene.bvh.box, scene.bvh.meta, tri_rows))
     dt, (t, i) = timeit(f, o, d)
     print(f"  camera coherent : {n/dt/1e6:6.1f} Mrays/s")
+
+    REPS = 16
+    o16 = jnp.tile(o, (REPS, 1))
+    d16 = jnp.tile(d, (REPS, 1))
+    dt16, _ = timeit(f, o16, d16, iters=5)
+    print(f"  camera x{REPS}     : {n*REPS/dt16/1e6:6.1f} Mrays/s")
 
     # bounce-like: origins at first-hit points, random cosine dirs, sorted
     key = jax.random.PRNGKey(0)

@@ -168,6 +168,45 @@ def run_cornell():
           f"({w*h*kspp/wall/1e6:.2f} Mpaths/s)")
 
 
+def run_sorted(subdiv=64, spp=16, depth=5):
+    """Profile the r5 depth-sorted fused wavefront (one bounce kernel
+    per depth + one XLA state co-sort between depths)."""
+    from cuda_optix_pathtracing_tpu.models.megakernel_pallas import (
+        trace_paths_fused_sorted,
+    )
+    from cuda_optix_pathtracing_tpu.ops.camera import (
+        generate_rays,
+        pixel_centers,
+    )
+    from cuda_optix_pathtracing_tpu.scene.procedural import cornell_box_mesh
+    import cuda_optix_pathtracing_tpu.ops.rng as R
+
+    w = h = 256
+    scene = cornell_box_mesh(w, h, subdiv=subdiv)
+    pix = jnp.tile(pixel_centers(w, h), (spp, 1))
+    sample = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), w * h)
+    px = pix[:, 0].astype(jnp.uint32)
+    py = pix[:, 1].astype(jnp.uint32)
+    sampler = R.Sampler("hash", 0)
+    u1, u2 = sampler.sample_2d(px, py, sample, R.Dim.CAMERA_U)
+    p_film = pix + jnp.stack([u1, u2], axis=-1)
+    o, d = generate_rays(p_film, scene.cam_from_raster, scene.world_from_cam)
+    f = jax.jit(lambda o, d: trace_paths_fused_sorted(
+        scene, px, py, sample, o, d, max_depth=depth, rr_start_depth=2))
+    r = f(o, d)
+    r.block_until_ready()
+    t0 = time.perf_counter()
+    r = f(o, d)
+    r.block_until_ready()
+    wall = time.perf_counter() - t0
+    with jax.profiler.trace(TRACE_DIR):
+        r = f(o, d)
+        r.block_until_ready()
+    n = o.shape[0]
+    print(f"wall (unprofiled): {wall*1e3:.1f} ms for {spp} spp "
+          f"({n/wall/1e6:.2f} Mpaths/s)")
+
+
 def main():
     what = sys.argv[1] if len(sys.argv) > 1 else "mesh"
     spp = 16
@@ -179,6 +218,8 @@ def main():
         run_mesh(spp_per_pass=spp)
     elif what == "cornell":
         run_cornell()
+    elif what == "sorted":
+        run_sorted(spp=spp)
     rows = parse_xplane(TRACE_DIR)
     report(rows)
 

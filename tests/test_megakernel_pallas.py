@@ -118,6 +118,37 @@ def test_fused_bvh_matches_xla_integrator():
     assert (diff.max(-1) > 1e-3).mean() < 0.005
 
 
+def test_sorted_fused_matches_fused():
+    """r5: the depth-sorted fused wavefront (one bounce kernel per depth
+    + XLA state co-sort between depths) computes the EXACT same
+    estimator as the whole-path fused kernel — identical RNG keying,
+    identical bounce math — so radiance matches to float-ulp level (the
+    tile-majority direction octant differs with tile membership, which
+    reorders the traversal's t-min merges: observed max diff 2e-8)."""
+    from cuda_optix_pathtracing_tpu.models.megakernel_pallas import (
+        trace_paths_fused_sorted,
+    )
+    from cuda_optix_pathtracing_tpu.scene.procedural import cornell_box_mesh
+
+    w = h = 32
+    scene_m = cornell_box_mesh(w, h, subdiv=16, use_bvh=True)
+    assert scene_m.bvh is not None
+    samp = jnp.uint32(5)
+    px, py, o, d = _camera_rays(scene_m, w, h, samp)
+    r_f = np.asarray(
+        trace_paths_fused(
+            scene_m, px, py, samp, o, d, max_depth=4, interpret=True
+        )
+    )
+    r_s = np.asarray(
+        trace_paths_fused_sorted(
+            scene_m, px, py, samp, o, d, max_depth=4, interpret=True
+        )
+    )
+    assert np.isfinite(r_s).all()
+    np.testing.assert_allclose(r_f, r_s, atol=1e-6, rtol=1e-5)
+
+
 def test_fused_arealight_matches_xla_integrator():
     """r4 scope extension: AREA-light NEE (area-CDF sampling + MIS) and
     direct-emitter-hit MIS agree with the XLA integrator."""
