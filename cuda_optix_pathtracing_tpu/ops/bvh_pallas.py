@@ -67,6 +67,9 @@ UNROLL = 1  # pop-and-drain steps per while_loop cond evaluation
 NODES_SMEM = True  # node slabs as a flat SMEM table when they fit: the
 # pop's 48 slab scalars become ~3 ns dynamic SMEM reads instead of a
 # data-dependent VMEM row load (r5 experiment)
+TRI_VMEM_LIMIT = 10 * 1024 * 1024  # triangle-table bytes above which the
+# kernel switches to the HBM-streaming drain (leaf rows DMA'd into a
+# VMEM scratch; ~230k padded tris was the whole-resident ceiling)
 _TRI_SUB = 8  # triangles per packed row
 
 CODE_EMPTY = 0
@@ -159,7 +162,7 @@ def _mt_rows8(o, d, getv):
 
 
 def tile_traverse(mode, o, d, meta, nodebox, tri, stack, lstack,
-                  tmax=None, alive=None):
+                  tmax=None, alive=None, stream=None):
     """Shared-stack packet traversal of one ray tile, for use INSIDE a
     Pallas kernel (also called by the fused path-loop megakernel,
     models/megakernel_pallas.py).
@@ -203,6 +206,16 @@ def tile_traverse(mode, o, d, meta, nodebox, tri, stack, lstack,
     root pop — load-bearing for the fused megakernel's later bounces,
     where misses and Russian roulette have killed most lanes but the
     kernel cannot compact them.
+
+    ``stream`` (r5, HBM-streaming tier): ``(scratch, sems)`` where
+    ``scratch`` is a VMEM (DRAIN, 128) f32 scratch and ``sems`` a DMA
+    semaphore array of DRAIN slots. When given, ``tri`` is an
+    HBM-resident (ANY-space) table and each drained leaf row is DMA'd
+    into its scratch slot — all DRAIN copies are issued before the
+    first wait, so their latencies overlap. This is how scenes whose
+    triangle table exceeds the VMEM budget (~230k padded tris, the r4
+    ceiling) traverse: the TPU re-design of the reference's DRAM
+    traversal (core-bvh-builder.cpp:770-1008).
     """
     shape = o[0].shape
     tiny = jnp.float32(1e-12)
@@ -364,13 +377,34 @@ def tile_traverse(mode, o, d, meta, nodebox, tri, stack, lstack,
         # --- (b) drain DRAIN leaf blocks discovered by EARLIER pops
         # (degenerate all-miss rows substitute when lstack is dry) ---
         blk_res = []
-        for j in range(DRAIN):
-            idx = lptr - 1 - j
-            base = jnp.where(idx >= 0, lstack[jnp.maximum(idx, 0)], db)
-            lrow = tri[pl.ds(base, 1), :]
-            blk_res.append(
-                mt_block(lambda lane, r=lrow: r[0, lane], base, limit)
-            )
+        if stream is not None:
+            scratch_t, sems = stream
+            bases, copies = [], []
+            for j in range(DRAIN):
+                idx = lptr - 1 - j
+                base = jnp.where(idx >= 0, lstack[jnp.maximum(idx, 0)], db)
+                bases.append(base)
+                cp = pltpu.make_async_copy(
+                    tri.at[pl.ds(base, 1), :],
+                    scratch_t.at[pl.ds(j, 1), :],
+                    sems.at[j],
+                )
+                cp.start()
+                copies.append(cp)
+            for j in range(DRAIN):
+                copies[j].wait()
+                lrow = scratch_t[pl.ds(j, 1), :]
+                blk_res.append(
+                    mt_block(lambda lane, r=lrow: r[0, lane], bases[j], limit)
+                )
+        else:
+            for j in range(DRAIN):
+                idx = lptr - 1 - j
+                base = jnp.where(idx >= 0, lstack[jnp.maximum(idx, 0)], db)
+                lrow = tri[pl.ds(base, 1), :]
+                blk_res.append(
+                    mt_block(lambda lane, r=lrow: r[0, lane], base, limit)
+                )
         lptr = jnp.maximum(lptr - DRAIN, 0)
 
         # --- pushes: branchless store + conditional advance ---
@@ -454,23 +488,28 @@ def tile_traverse(mode, o, d, meta, nodebox, tri, stack, lstack,
 
 def _traverse_kernel(
     anyhit: bool,
+    streaming: bool,  # tri table in HBM (ANY) + per-leaf DMA drain
     meta,  # SMEM ((M+1)*16,) i32 (degen row appended)
     ox, oy, oz, dx, dy, dz, tmax,  # VMEM ray planes (BLOCK_ROWS, 128)
-    nodebox, tri,  # VMEM tables (degen rows appended)
+    nodebox, tri,  # node table (SMEM flat | VMEM rows), tri (VMEM | ANY)
     out_t, out_i,  # VMEM outputs (BLOCK_ROWS, LANES)
     stack, lstack,  # scratch
+    *dma_scratch,  # streaming only: (tri_scratch VMEM, DMA sems)
 ):
     o = (ox[...], oy[...], oz[...])
     d = (dx[...], dy[...], dz[...])
+    stream = tuple(dma_scratch) if streaming else None
     if anyhit:
         occ = tile_traverse(
-            "any", o, d, meta, nodebox, tri, stack, lstack, tmax=tmax[...]
+            "any", o, d, meta, nodebox, tri, stack, lstack, tmax=tmax[...],
+            stream=stream,
         )
         out_t[...] = jnp.full(o[0].shape, BIG_T, jnp.float32)
         out_i[...] = occ
     else:
         t_best, i_best = tile_traverse(
-            "closest", o, d, meta, nodebox, tri, stack, lstack
+            "closest", o, d, meta, nodebox, tri, stack, lstack,
+            stream=stream,
         )
         out_t[...] = t_best
         out_i[...] = i_best
@@ -510,19 +549,31 @@ def _call(anyhit, planes, nodebox, nodemeta, tri_rows, rows, interpret=False):
         node_spec = smem
     else:
         node_spec = full
+    # HBM-streaming tier: above the VMEM budget the triangle table stays
+    # in HBM and leaf rows are DMA'd per drain (tile_traverse stream=)
+    streaming = tri_rows.nbytes > TRI_VMEM_LIMIT
+    tri_spec = (
+        pl.BlockSpec(memory_space=pltpu.ANY) if streaming else full
+    )
+    scratch = [
+        pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+        pltpu.SMEM((LEAF_STACK_DEPTH,), jnp.int32),
+    ]
+    if streaming:
+        scratch += [
+            pltpu.VMEM((DRAIN, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((DRAIN,)),
+        ]
     return pl.pallas_call(
-        functools.partial(_traverse_kernel, anyhit),
+        functools.partial(_traverse_kernel, anyhit, streaming),
         grid=(grid,),
-        in_specs=[smem] + [ray_spec] * 7 + [node_spec, full],
+        in_specs=[smem] + [ray_spec] * 7 + [node_spec, tri_spec],
         out_specs=[ray_spec, ray_spec],
         out_shape=[
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-            pltpu.SMEM((LEAF_STACK_DEPTH,), jnp.int32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(nodemeta, *planes, nodebox, tri_rows)
 

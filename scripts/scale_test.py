@@ -93,11 +93,21 @@ def run(name, scene, w, h, kspp=4):
 
 
 def main():
+    import sys
+
     w = h = 256
-    run("teapot.fbx   (9.2k tris)", teapot_scene(w, h), w, h)
+    if "--stream-only" not in sys.argv:
+        run("teapot.fbx   (9.2k tris)", teapot_scene(w, h), w, h)
+        run(
+            "spheres-128  (~131k tris)",
+            cornell_box_mesh(w, h, subdiv=128),
+            w, h,
+        )
+    # r5 HBM-streaming tier: ~525k tris — 2.3x past the whole-resident
+    # VMEM ceiling (~230k padded rows); leaf rows DMA from HBM
     run(
-        "spheres-128  (~131k tris)",
-        cornell_box_mesh(w, h, subdiv=128),
+        "spheres-256  (~525k tris)",
+        cornell_box_mesh(w, h, subdiv=256),
         w, h,
     )
 
