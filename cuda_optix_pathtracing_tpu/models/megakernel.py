@@ -157,23 +157,46 @@ def _park_dead(o, d, alive):
     )
 
 
-def _closest_raw_single(scene: Scene, cfg, o, d):
-    """(t, i) on the BASE mesh in its own space (t = BIG_T on miss)."""
-    from ..ops.intersect import BIG_T, intersect_closest_raw
-    from ..ops.intersect_pallas import intersect_closest_pallas_raw
-
-    if _use_pallas(cfg):
-        if scene.bvh is not None:
-            tri_rows = tri_rows_pack(scene.tri_v0, scene.tri_e0, scene.tri_e1)
-            return bvh_closest_raw(
-                o, d, scene.bvh.box, scene.bvh.meta, tri_rows
-            )
-        return intersect_closest_pallas_raw(
-            o, d, scene.tri_v0, scene.tri_e0, scene.tri_e1
-        )
-    return intersect_closest_raw(
-        o, d, scene.tri_v0, scene.tri_e0, scene.tri_e1, chunk=cfg.tri_chunk
+def _affine_pts(a, p):
+    """Apply a (3,4) affine [R|t] to (N,3) points with EXPLICIT f32
+    multiply-adds. Never use ``@``/einsum here: XLA's default matmul
+    precision on TPU (and oneDNN on CPU) computes f32 dots at bf16,
+    which quantizes ray origins to a ~2^-9 grid — measured displacing
+    shadow origins by ~1e-3 and self-shadowing instanced spheres (r5
+    bug hunt, docs/quality.md)."""
+    return jnp.stack(
+        [
+            p[:, 0] * a[i, 0] + p[:, 1] * a[i, 1] + p[:, 2] * a[i, 2]
+            + a[i, 3]
+            for i in range(3)
+        ],
+        axis=-1,
     )
+
+
+def _affine_vecs(a, v):
+    """Linear part only (directions)."""
+    return jnp.stack(
+        [
+            v[:, 0] * a[i, 0] + v[:, 1] * a[i, 1] + v[:, 2] * a[i, 2]
+            for i in range(3)
+        ],
+        axis=-1,
+    )
+
+
+def _rows_pts(rows, p):
+    """Per-ray (N,3,4) affines applied to (N,3) points (f32 mul-adds)."""
+    return jnp.sum(rows[:, :, :3] * p[:, None, :], axis=-1) + rows[:, :, 3]
+
+
+def _rows_vecs(rows, v):
+    return jnp.sum(rows[:, :, :3] * v[:, None, :], axis=-1)
+
+
+def _rows_vecs_t(rows, v):
+    """Transposed linear part (normal transforms: M⁻ᵀ)."""
+    return jnp.sum(rows[:, :, :3] * v[:, :, None], axis=-2)
 
 
 def _inst_rows(table, best_k, n_inst):
@@ -185,79 +208,153 @@ def _inst_rows(table, best_k, n_inst):
     return acc
 
 
+def _ray_box_hit(o, d, lo, hi):
+    """(N,) bool: does the forward ray intersect the AABB (lo, hi)?
+    Parked rays (far origin, outward direction) always miss."""
+    tiny = 1e-12
+    inv = 1.0 / jnp.where(jnp.abs(d) < tiny, tiny, d)
+    t0 = (lo - o) * inv
+    t1 = (hi - o) * inv
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    return tf >= jnp.maximum(tn, 0.0)
+
+
+def _closest_raw_mesh(cfg, o, d, mesh):
+    """(t, local i) on ONE instance's base mesh tables."""
+    from ..ops.intersect import intersect_closest_raw
+    from ..ops.intersect_pallas import intersect_closest_pallas_raw
+
+    v0, e0, e1, box, meta = mesh
+    if _use_pallas(cfg):
+        if box is not None:
+            return bvh_closest_raw(o, d, box, meta, tri_rows_pack(v0, e0, e1))
+        return intersect_closest_pallas_raw(o, d, v0, e0, e1)
+    return intersect_closest_raw(o, d, v0, e0, e1, chunk=cfg.tri_chunk)
+
+
+def _any_raw_mesh(cfg, o, d, t_max, mesh):
+    from ..ops.intersect import intersect_any
+    from ..ops.intersect_pallas import intersect_any_pallas
+
+    v0, e0, e1, box, meta = mesh
+    if _use_pallas(cfg):
+        if box is not None:
+            return bvh_any_pallas(
+                o, d, box, meta, tri_rows_pack(v0, e0, e1), t_max
+            )
+        return intersect_any_pallas(o, d, v0, e0, e1, t_max)
+    return intersect_any(o, d, v0, e0, e1, t_max, chunk=cfg.tri_chunk)
+
+
+def _inst_sort_on(cfg, inst) -> bool:
+    if cfg.sort_rays == "on":
+        return True
+    if cfg.sort_rays == "auto":
+        return any(m[3] is not None for m in inst.meshes)
+    return False
+
+
+def _inst_park(o, d, keep):
+    m = keep[:, None]
+    return (
+        jnp.where(m, o, _DEAD_ORIGIN),
+        jnp.where(m, d, jnp.asarray(_DEAD_DIR, d.dtype)),
+    )
+
+
 def _closest_instanced(scene: Scene, cfg, o, d, alive=None):
-    """Closest hit over ∪_i M_i(base mesh): per instance, transform the
-    rays into object space (t is shared between spaces when the object
-    direction is left unnormalized) and min-reduce; ONE epilogue runs in
-    the winner's object space, then position/normal/error map back to
-    world. The TPU re-design of the reference's per-instance BVH + TLAS
-    (core-bvh-builder.cpp:225-498): memory stays O(one mesh)."""
+    """Closest hit over ∪_k M_k(mesh_k): per instance, cull rays that
+    miss its WORLD AABB (1-level TLAS), transform survivors into object
+    space (t is shared between spaces when the object direction is left
+    unnormalized), traverse that instance's mesh tables, min-reduce.
+    ONE epilogue runs in the winner's object space over the GLOBAL
+    (concatenated) triangle arrays, then position/normal/error map back
+    to world. r5: multi-mesh tables + AABB cull + octant/Morton-sorted
+    dispatch (the reference's Instance{meshIdx}+TLAS,
+    core-trianglemesh.h:84-146, core-bvh-builder.cpp:225-498)."""
     from ..ops.intersect import BIG_T
 
     inst = scene.instances
     n_inst = inst.world_from_obj.shape[0]
     o, d = _park_dead(o, d, alive)
     n = o.shape[0]
-    best_t = jnp.full((n,), BIG_T, jnp.float32)
-    best_i = jnp.zeros((n,), jnp.int32)
-    best_k = jnp.zeros((n,), jnp.int32)
-    for k in range(n_inst):
-        a = inst.obj_from_world[k]
-        o_k = o @ a[:, :3].T + a[:, 3]
-        d_k = d @ a[:, :3].T
-        t, i = _closest_raw_single(scene, cfg, o_k, d_k)
-        better = t < best_t
-        best_t = jnp.where(better, t, best_t)
-        best_i = jnp.where(better, i, best_i)
-        best_k = jnp.where(better, k, best_k)
+
+    def run(o_s, d_s):
+        best_t = jnp.full((n,), BIG_T, jnp.float32)
+        best_i = jnp.zeros((n,), jnp.int32)
+        best_k = jnp.zeros((n,), jnp.int32)
+        for k in range(n_inst):
+            hit_box = _ray_box_hit(
+                o_s, d_s, inst.bounds_lo[k], inst.bounds_hi[k]
+            )
+            a = inst.obj_from_world[k]
+            o_k = _affine_pts(a, o_s)
+            d_k = _affine_vecs(a, d_s)
+            o_k, d_k = _inst_park(o_k, d_k, hit_box)
+            t, i = _closest_raw_mesh(cfg, o_k, d_k, inst.meshes[k])
+            better = (t < best_t) & hit_box
+            best_t = jnp.where(better, t, best_t)
+            best_i = jnp.where(better, i + inst.tstart[k], best_i)
+            best_k = jnp.where(better, k, best_k)
+        return best_t, best_i, best_k
+
+    if _inst_sort_on(cfg, inst):
+        blo = jnp.min(inst.bounds_lo, axis=0)
+        bhi = jnp.max(inst.bounds_hi, axis=0)
+        key = ray_sort_key(o, d, blo, bhi, alive)
+        best_t, best_i, best_k = sorted_apply(o, d, key, run, 3)
+    else:
+        best_t, best_i, best_k = run(o, d)
 
     a_win = _inst_rows(inst.obj_from_world, best_k, n_inst)  # (N,3,4)
     m_win = _inst_rows(inst.world_from_obj, best_k, n_inst)
-    o_obj = jnp.einsum("nij,nj->ni", a_win[:, :, :3], o) + a_win[:, :, 3]
-    d_obj = jnp.einsum("nij,nj->ni", a_win[:, :, :3], d)
+    # per-ray affines applied with explicit f32 mul-adds (NOT einsum:
+    # bf16 default matmul precision, see _affine_pts)
+    o_obj = _rows_pts(a_win, o)
+    d_obj = _rows_vecs(a_win, d)
     hit = closest_epilogue(
         o_obj, d_obj, scene.tri_v0, scene.tri_e0, scene.tri_e1,
         best_t, best_i,
     )
-    pos_w = (
-        jnp.einsum("nij,nj->ni", m_win[:, :, :3], hit.pos) + m_win[:, :, 3]
-    )
+    pos_w = _rows_pts(m_win, hit.pos)
     # normals by inverse-transpose: M⁻ᵀ = (obj_from_world linear)ᵀ
-    ng_w = normalize(jnp.einsum("nji,nj->ni", a_win[:, :, :3], hit.normal))
+    ng_w = normalize(_rows_vecs_t(a_win, hit.normal))
     # conservative world error bound: |M| · err
-    err_w = jnp.einsum("nij,nj->ni", jnp.abs(m_win[:, :, :3]), hit.error)
+    err_w = _rows_vecs(jnp.abs(m_win), hit.error)
     return hit._replace(pos=pos_w, normal=ng_w, error=err_w)
 
 
 def _any_instanced(scene: Scene, cfg, o, d, t_max, alive=None):
     inst = scene.instances
-    occ = None
+    n_inst = inst.world_from_obj.shape[0]
     o, d = _park_dead(o, d, alive)
-    for k in range(inst.world_from_obj.shape[0]):
-        a = inst.obj_from_world[k]
-        o_k = o @ a[:, :3].T + a[:, 3]
-        d_k = d @ a[:, :3].T
-        occ_k = _any_single(scene, cfg, o_k, d_k, t_max)
-        occ = occ_k if occ is None else (occ | occ_k)
-    return occ
+    n = o.shape[0]
+    t_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
 
-
-def _any_single(scene: Scene, cfg, o, d, t_max):
-    """Occlusion on the base mesh only (no sorting, no dead-parking —
-    the instanced wrapper handles both)."""
-    if _use_pallas(cfg):
-        if scene.bvh is not None:
-            tri_rows = tri_rows_pack(scene.tri_v0, scene.tri_e0, scene.tri_e1)
-            return bvh_any_pallas(
-                o, d, scene.bvh.box, scene.bvh.meta, tri_rows, t_max
+    def run(o_s, d_s, t_s):
+        occ = jnp.zeros((n,), bool)
+        for k in range(n_inst):
+            hit_box = _ray_box_hit(
+                o_s, d_s, inst.bounds_lo[k], inst.bounds_hi[k]
             )
-        return intersect_any_pallas(
-            o, d, scene.tri_v0, scene.tri_e0, scene.tri_e1, t_max
+            a = inst.obj_from_world[k]
+            o_k = _affine_pts(a, o_s)
+            d_k = _affine_vecs(a, d_s)
+            o_k, d_k = _inst_park(o_k, d_k, hit_box)
+            occ_k = _any_raw_mesh(cfg, o_k, d_k, t_s, inst.meshes[k])
+            occ = occ | (occ_k & hit_box)
+        return occ
+
+    if _inst_sort_on(cfg, inst):
+        blo = jnp.min(inst.bounds_lo, axis=0)
+        bhi = jnp.max(inst.bounds_hi, axis=0)
+        key = ray_sort_key(o, d, blo, bhi, alive)
+        occ = sorted_apply_tmax(
+            o, d, t_arr, key, lambda so, sd, st: run(so, sd, st)
         )
-    return intersect_any(
-        o, d, scene.tri_v0, scene.tri_e0, scene.tri_e1, t_max,
-        chunk=cfg.tri_chunk,
-    )
+        return occ > 0
+    return run(o, d, t_arr)
 
 
 def _closest(scene: Scene, cfg, o, d, alive=None):
@@ -1025,6 +1122,7 @@ def render_sample_batch(scene: Scene, cfg: MegakernelConfig, width, height, samp
             scene, px, py, sample, o, d,
             max_depth=cfg.max_depth, rr_start_depth=cfg.rr_start_depth,
             seed=cfg.seed, conductor=cfg.features.conductor,
+            sampler=cfg.sampler,
         )
     else:
         radiance = trace_paths(scene, cfg, px, py, sample, o, d)

@@ -257,6 +257,80 @@ def rng_1d(px, py, sample_seed, dim):
     return u32_to_float01(x)
 
 
+# --- Owen-scrambled Halton, kernel-safe (ops/rng.py parity; r5) -------------
+# Differences from ops/rng.py are Mosaic-only mechanics: u32→f32 goes
+# through the bitcast trick, the digit loop is Python-unrolled (static
+# n_digits), and inv_mult advances as a host float. The math — pixel
+# seed keying, Laine–Karras base-2 Owen scramble, per-digit prefix-hash
+# permutation in odd prime bases — is identical (rng.cu:96-231 is the
+# reference ancestor; keying matches ops/rng.halton_owen_sample).
+
+_PRIMES = (
+    2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53,
+    59, 61, 67, 71, 73, 79, 83, 89, 97, 101, 103, 107, 109, 113, 127, 131,
+)
+_N_DIGITS = {2: 32, 3: 20, 5: 14, 7: 12, 11: 10, 13: 9}
+
+
+def _rev_bits32(v):
+    v = ((v >> U32(1)) & U32(0x55555555)) | ((v & U32(0x55555555)) << U32(1))
+    v = ((v >> U32(2)) & U32(0x33333333)) | ((v & U32(0x33333333)) << U32(2))
+    v = ((v >> U32(4)) & U32(0x0F0F0F0F)) | ((v & U32(0x0F0F0F0F)) << U32(4))
+    v = ((v >> U32(8)) & U32(0x00FF00FF)) | ((v & U32(0x00FF00FF)) << U32(8))
+    return (v >> U32(16)) | (v << U32(16))
+
+
+def _lk_perm(x, seed):
+    x = x + seed
+    x = x ^ (x * U32(0x6C50B47C))
+    x = x ^ (x * U32(0xB82F1E52))
+    x = x ^ (x * U32(0xC7AFE638))
+    x = x ^ (x * U32(0x8D22F6E6))
+    return x
+
+
+def _pcg_hash_k(seed):
+    state = seed * U32(747796405) + U32(2891336453)
+    word = (
+        (state >> ((state >> U32(28)) + U32(4))) ^ state
+    ) * U32(277803737)
+    return (word >> U32(22)) ^ word
+
+
+def _small_u32_to_f32(u):
+    """Exact u32→f32 for values < 2^24 (digits/hashes mod base)."""
+    return lax.bitcast_convert_type(u, jnp.int32).astype(jnp.float32)
+
+
+def halton_1d(px, py, sample_raw, dim: int, seed: int):
+    """Owen-scrambled Halton for STATIC dim (prime base selection),
+    decorrelated per pixel — bit-parity with ops/rng.halton_owen_sample."""
+    base = _PRIMES[int(dim) % len(_PRIMES)]
+    pixel_seed, _, _, _ = pcg4d(
+        px, py,
+        jnp.full(px.shape, U32(int(dim))),
+        jnp.full(px.shape, U32(seed)),
+    )
+    if base == 2:
+        return u32_to_float01(_rev_bits32(_lk_perm(sample_raw, pixel_seed)))
+    n_digits = _N_DIGITS.get(base, 8)
+    base_u = U32(base)
+    idx = sample_raw
+    value = jnp.zeros(px.shape, jnp.float32)
+    prefix = jnp.zeros(px.shape, U32)
+    inv_mult = 1.0 / base
+    for _ in range(n_digits):
+        quot = idx // base_u
+        digit = idx - quot * base_u
+        h = _pcg_hash_k(prefix * U32(0x9E3779B9) ^ pixel_seed)
+        sdigit = (digit + h) % base_u
+        value = value + _small_u32_to_f32(sdigit) * jnp.float32(inv_mult)
+        prefix = prefix * base_u + digit + U32(1)
+        idx = quot
+        inv_mult *= 1.0 / base
+    return jnp.minimum(value, jnp.float32(1.0 - 1e-7))
+
+
 # ---------------------------------------------------------------------------
 # GGX pieces (ops/bsdf.py parity, component style)
 # ---------------------------------------------------------------------------
@@ -430,10 +504,13 @@ def _pt_kernel(
     depth0,  # None = full in-kernel path loop; int = SINGLE-depth mode:
     # one bounce at this static depth with path state streamed in/out so
     # the host can re-sort rays between depths (trace_paths_fused_sorted)
+    sampler_cfg,  # (kind, qmc_dims, seed) — "halton" needs STATIC dims,
+    # so the depth loop Python-unrolls (full mode) / is single (sorted)
     # --- refs (three layouts, see trace_paths_fused) ---
     *refs,
 ):
     coef2d, coef1d, deg = e_coeffs
+    smp_kind, qmc_dims, seed0 = sampler_cfg
     single = depth0 is not None
     if single:
         assert use_bvh, "single-depth mode is the BVH wavefront path"
@@ -1026,10 +1103,30 @@ def _pt_kernel(
         alive = alive_i > 0
         inside = inside_i > 0
         prev_delta = prev_delta_i > 0
-        if isinstance(depth, int):  # single-depth mode: static dims
+        if isinstance(depth, int):  # static dims (single-depth / unrolled)
             depth_dim = U32(depth * 24)  # DIMS_PER_BOUNCE
         else:
             depth_dim = depth.astype(U32) * U32(24)
+
+        use_qmc = smp_kind == "halton" and isinstance(depth, int)
+        if use_qmc:
+            sample_raw = sample_seed ^ U32(seed0)
+
+        def samp_1d(rel: int):
+            if use_qmc and depth * 24 + rel < qmc_dims:
+                return halton_1d(
+                    px, py, sample_raw, depth * 24 + rel, seed0
+                )
+            return rng_1d(px, py, sample_seed, depth_dim + U32(rel))
+
+        def samp_2d(rel: int):
+            if use_qmc and depth * 24 + rel + 1 < qmc_dims:
+                dim = depth * 24 + rel
+                return (
+                    halton_1d(px, py, sample_raw, dim, seed0),
+                    halton_1d(px, py, sample_raw, dim + 1, seed0),
+                )
+            return rng_2d(px, py, sample_seed, depth_dim + U32(rel))
 
         hit, t_hit, mat_id, pos, ng, err = closest_hit(o, d, alive)
 
@@ -1068,11 +1165,11 @@ def _pt_kernel(
             )
 
         # --- NEE: uniform light pick (megakernel.cu:176 / _nee parity) ---
-        ul = rng_1d(px, py, sample_seed, depth_dim + U32(2))  # LIGHT_SELECT
+        ul = samp_1d(2)  # LIGHT_SELECT
         lidx = jnp.minimum(
             (ul * float(n_lights)).astype(jnp.int32), n_lights - 1
         )
-        u1l, u2l = rng_2d(px, py, sample_seed, depth_dim + U32(3))  # LIGHT_U
+        u1l, u2l = samp_2d(3)  # LIGHT_U
         lrow = [jnp.zeros(shape, jnp.float32) for _ in range(13)]
         for li_ in range(n_lights):
             is_l = lidx == li_
@@ -1132,8 +1229,8 @@ def _pt_kernel(
                 jnp.where(is_area, le_a[c], le[c]) for c in range(3)
             )
 
-        u1b, u2b = rng_2d(px, py, sample_seed, depth_dim + U32(5))  # BSDF_U
-        ucb = rng_1d(px, py, sample_seed, depth_dim + U32(7))  # BSDF_UC
+        u1b, u2b = samp_2d(5)  # BSDF_U
+        ucb = samp_1d(7)  # BSDF_UC
 
         (f_l, pdf_l, bs_wi, bs_f, bs_pdf, bs_eta, bs_delta, bs_refract
          ) = eval_and_sample(mat, wo, ng, inside, ldir, u1b, u2b, ucb)
@@ -1185,7 +1282,7 @@ def _pt_kernel(
             rr_beta = jnp.maximum(
                 jnp.maximum(beta[0], beta[1]), beta[2]
             ) * eta_scale
-            u_rr = rng_1d(px, py, sample_seed, depth_dim + U32(8))  # RR
+            u_rr = samp_1d(8)  # RR
             q = jnp.maximum(0.0, 1.0 - rr_beta)
             do_rr = rr_beta < 1.0
             if not isinstance(depth, int):
@@ -1239,7 +1336,13 @@ def _pt_kernel(
         o, d, beta, radiance, alive_i, inside_i, eta_scale,
         prev_pdf0, prev_delta0,
     )
-    carry = lax.fori_loop(0, max_depth, bounce, carry)
+    if smp_kind == "halton":
+        # Halton needs static dims (prime-base selection): unroll the
+        # depth loop in Python (bigger kernel, same math)
+        for dd in range(max_depth):
+            carry = bounce(dd, carry)
+    else:
+        carry = lax.fori_loop(0, max_depth, bounce, carry)
     radiance = carry[3]
     lr[...] = radiance[0]
     lg[...] = radiance[1]
@@ -1266,7 +1369,7 @@ def pallas_megakernel_supported(scene: Scene, cfg) -> bool:
         return False
     if scene.tri_ns is not None:
         return False
-    if cfg.sampler != "hash" or cfg.env_nee:
+    if cfg.sampler not in ("hash", "halton") or cfg.env_nee:
         return False
     if getattr(cfg, "light_strategy", "auto") == "tree":
         return False
@@ -1350,6 +1453,7 @@ def _scene_tables(scene: Scene):
     jax.jit,
     static_argnames=(
         "max_depth", "rr_start_depth", "seed", "interpret", "conductor",
+        "sampler", "qmc_dims",
     ),
 )
 def trace_paths_fused(
@@ -1365,6 +1469,9 @@ def trace_paths_fused(
     interpret: bool = False,
     conductor: bool = True,  # static: emit the GGX-conductor code path
     # (pass cfg.features.conductor to specialize it away)
+    sampler: str = "hash",  # "hash" | "halton" (r5: in-kernel Owen-
+    # scrambled Halton with a Python-unrolled depth loop)
+    qmc_dims: int = 12,
 ):
     """Fused-path-loop radiance for rays (o, d) — drop-in for
     megakernel.trace_paths on supported scenes (forward only)."""
@@ -1428,6 +1535,7 @@ def trace_paths_fused(
         rr_start_depth,
         (np.asarray(e_coeffs[0]), np.asarray(e_coeffs[1]), e_coeffs[2]),
         None,
+        (sampler, qmc_dims, seed),
     )
 
     if use_bvh:
@@ -1480,6 +1588,7 @@ def trace_paths_fused(
     jax.jit,
     static_argnames=(
         "max_depth", "rr_start_depth", "seed", "interpret", "conductor",
+        "sampler", "qmc_dims",
     ),
 )
 def trace_paths_fused_sorted(
@@ -1494,6 +1603,8 @@ def trace_paths_fused_sorted(
     seed: int = 0,
     interpret: bool = False,
     conductor: bool = True,
+    sampler: str = "hash",
+    qmc_dims: int = 12,
 ):
     """Depth-sorted fused wavefront: ONE bounce kernel per depth with an
     XLA ray re-sort between depths.
@@ -1599,6 +1710,7 @@ def trace_paths_fused_sorted(
         kern = functools.partial(
             _pt_kernel, True, conductor, n_tris, n_mats, n_lights,
             n_emissive, max_depth, rr_start_depth, e_np, depth,
+            (sampler, qmc_dims, seed),
         )
         planes = [
             a.reshape(rows, LANES)

@@ -82,7 +82,18 @@ def sample_envmap(env: EnvMap, u1, u2):
     """(u1,u2) → (world dir, radiance (N,3), solid-angle pdf)."""
     u, v, pdf_uv = sample_piecewise_2d(env.dist, u1, u2)
     d_env = _uv_to_dir(u, v)
-    d = jnp.einsum("ij,...j->...i", env.rotation, d_env)
+    # explicit f32 mul-adds (einsum runs at bf16 matmul precision on TPU
+    # — see vecmath.transform_point)
+    r = env.rotation
+    d = jnp.stack(
+        [
+            r[i, 0] * d_env[..., 0]
+            + r[i, 1] * d_env[..., 1]
+            + r[i, 2] * d_env[..., 2]
+            for i in range(3)
+        ],
+        axis=-1,
+    )
     radiance = _lookup(env, u, v)
     sin_theta = jnp.maximum(jnp.sin((1.0 - v) * PI), 1e-6)
     pdf = pdf_uv / (2.0 * PI * PI * sin_theta)
@@ -91,7 +102,16 @@ def sample_envmap(env: EnvMap, u1, u2):
 
 def eval_envmap(env: EnvMap, d_world):
     """World direction → (radiance (N,3), solid-angle pdf of sampling it)."""
-    d = jnp.einsum("ji,...j->...i", env.rotation, d_world)  # inverse rotation
+    r = env.rotation  # inverse rotation = transpose; explicit f32 mul-adds
+    d = jnp.stack(
+        [
+            r[0, i] * d_world[..., 0]
+            + r[1, i] * d_world[..., 1]
+            + r[2, i] * d_world[..., 2]
+            for i in range(3)
+        ],
+        axis=-1,
+    )
     u, v = map_to_sphere(d)
     radiance = _lookup(env, u, v)
     pdf_uv = pdf_piecewise_2d(env.dist, u, v)

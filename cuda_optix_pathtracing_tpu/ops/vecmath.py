@@ -220,13 +220,35 @@ def offset_ray_origin(p, error, ng, w):
 
 
 def transform_point(m, p):
-    """Apply 4x4 matrix ``m`` (…,4,4) to points ``p`` (…,3)."""
-    r = jnp.einsum("...ij,...j->...i", m[..., :3, :3], p) + m[..., :3, 3]
-    return r
+    """Apply 4x4 matrix ``m`` (…,4,4) to points ``p`` (…,3).
+
+    Explicit f32 multiply-adds, NOT einsum: XLA's default matmul
+    precision computes f32 contractions at bf16 on TPU, which
+    quantizes transformed rays to a ~2^-9 relative grid (r5 finding —
+    it displaced instanced shadow origins by ~1e-3 and self-shadowed
+    spheres; camera rays ran through this same path)."""
+    return jnp.stack(
+        [
+            m[..., i, 0] * p[..., 0]
+            + m[..., i, 1] * p[..., 1]
+            + m[..., i, 2] * p[..., 2]
+            + m[..., i, 3]
+            for i in range(3)
+        ],
+        axis=-1,
+    )
 
 
 def transform_vector(m, v):
-    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], v)
+    return jnp.stack(
+        [
+            m[..., i, 0] * v[..., 0]
+            + m[..., i, 1] * v[..., 1]
+            + m[..., i, 2] * v[..., 2]
+            for i in range(3)
+        ],
+        axis=-1,
+    )
 
 
 def make_translation(t):

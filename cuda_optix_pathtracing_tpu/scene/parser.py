@@ -328,50 +328,52 @@ def parse_scene(path: str) -> tuple[HostScene, ParsedScene]:
     world = doc.get("world", {})
     placed_lights = set()
 
-    # True instancing (r4, reference Instance/core-trianglemesh.h:84-99):
-    # when the whole world section places ONE object under ≥2 transforms,
-    # load its mesh ONCE and record the transforms — N placements cost
-    # one mesh + one BVH of memory. Mixed scenes / authored normals /
-    # emissive materials fall back to baking (Scene.instances docs).
-    _inst_refs = [
-        (transforms.get(tname), oname)
-        for tname, binding in world.items()
-        for oname in binding.get("instances", [])
-    ]
-    _inst_objects = {oname for _, oname in _inst_refs}
-    if len(_inst_objects) == 1 and len(_inst_refs) >= 2:
-        oname = next(iter(_inst_objects))
-        oj = objects.get(oname)
-        if oj is None:
-            raise SceneParseError(f"world references unknown object '{oname}'")
-        tris, uvs, normals = _object_triangles(oj, base_dir)
-        mat = mat_ids[oj.get("material", next(iter(mat_ids)))]
-        emissive_mat = bool(
-            np.max(np.asarray(hs.materials[mat].get("emission", (0.0,) * 3)))
-            > 0.0
-        )
-        if normals is None and not emissive_mat and all(
-            m is not None for m, _ in _inst_refs
-        ):
-            hs.triangles.extend(list(np.asarray(tris, np.float32)))
-            hs.tri_mat.extend([mat] * len(tris))
-            hs.tri_uv.extend(
-                list(np.asarray(uvs, np.float32)) if uvs is not None
-                else [None] * len(tris)
+    # True instancing (r4 single-mesh, r5 generalized to MIXED worlds;
+    # reference Instance/core-trianglemesh.h:84-146): every object the
+    # world places under ≥2 pure transforms loads its mesh ONCE as an
+    # instance group; everything else bakes. K placements of a group
+    # cost one mesh + one BVH of memory. Grouping is skipped entirely
+    # (all placements bake) when the scene uses textures, emissive
+    # materials or authored normals — the grouped scene build rejects
+    # those (Scene.instances docs).
+    _placements = {}
+    for tname, binding in world.items():
+        for oname in binding.get("instances", []):
+            _placements.setdefault(oname, []).append(transforms.get(tname))
+    _scene_emissive = any(
+        np.max(np.asarray(mj.get("emission", (0.0,) * 3))) > 0.0
+        for mj in hs.materials
+    )
+    _grouped: set = set()
+    if not hs.textures and not _scene_emissive:
+        for oname, mats in _placements.items():
+            if len(mats) < 2 or any(m is None for m in mats):
+                continue
+            oj = objects.get(oname)
+            if oj is None:
+                raise SceneParseError(
+                    f"world references unknown object '{oname}'"
+                )
+            tris, uvs, normals = _object_triangles(oj, base_dir)
+            if normals is not None:
+                continue  # authored normals bake (object-space ns)
+            mat = mat_ids[oj.get("material", next(iter(mat_ids)))]
+            hs.add_instance_group(
+                np.asarray(tris, np.float32), mat, np.stack(mats)
             )
-            hs.tri_ns.extend([None] * len(tris))
-            hs.instance_transforms = np.stack([m for m, _ in _inst_refs])
-            for tname, binding in world.items():
-                m = transforms.get(tname)
-                for lname in binding.get("lights", []):
-                    lj = lights.get(lname)
-                    if lj is None:
-                        raise SceneParseError(
-                            f"world references unknown light '{lname}'"
-                        )
-                    hs.add_light(_light_from_json(lj, m))
-                    placed_lights.add(lname)
-            world = {}  # handled
+            _grouped.add(oname)
+    if _grouped:
+        world = {
+            tname: {
+                **binding,
+                "instances": [
+                    o
+                    for o in binding.get("instances", [])
+                    if o not in _grouped
+                ],
+            }
+            for tname, binding in world.items()
+        }
 
     for tname, binding in world.items():
         m = transforms.get(tname)

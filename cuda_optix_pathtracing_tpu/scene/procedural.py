@@ -200,3 +200,60 @@ def cornell_box_mesh(
         height=height,
     )
     return scene_from_host(hs, use_bvh=use_bvh)
+
+
+def cornell_box_mesh_instanced(
+    width: int = 256,
+    height: int = 256,
+    subdiv: int = 48,
+    use_bvh=None,
+) -> Scene:
+    """``cornell_box_mesh`` with the two spheres as INSTANCES of one
+    origin-centered base mesh each (r5 multi-mesh instancing): walls
+    bake (identity instance), each sphere is an instance group placed by
+    translation. Same geometry and estimator as the baked scene —
+    exercises per-mesh BVH tables + world-AABB cull + sorted dispatch
+    on a production scene."""
+    white = (0.9, 170.0 / 204.0, 160.0 / 204.0)
+    hs = HostScene()
+    hs.add_material(B.oren_nayar((1.0, 0.7, 0.3), 0.7))
+    hs.add_material(
+        B.ggx_dielectric((0.02, 0.07, 0.01), (0.95, 0.95, 0.87), 1.0, 1.44, 0.5, 0.7)
+    )
+    hs.add_model(generate_plane((0, 4, 0), (0, -1, 0), 4, 4), 2)
+    hs.add_material(B.oren_nayar(white, 0.5))
+    hs.add_model(generate_plane((0, 2, -0.5), (0, 0, 1), 4, 4), 3)
+    hs.add_material(B.oren_nayar((1.0, 0.7, 0.3), 0.7))
+    hs.add_model(generate_plane((0, 2, 2), (0, 0, -1), 4, 4), 4)
+    hs.add_material(B.oren_nayar(white, 0.5))
+    hs.add_model(generate_plane((-2, 2, 0), (1, 0, 0), 4, 4), 5)
+    hs.add_material(B.oren_nayar((1.0, 0.01, 0.01), 0.6))
+    hs.add_model(generate_plane((2, 2, 0), (-1, 0, 0), 4, 4), 6)
+    hs.add_material(B.oren_nayar((0.01, 1.0, 0.01), 0.6))
+    base = np.stack(generate_sphere((0.0, 0.0, 0.0), 0.5, subdiv, subdiv))
+
+    def _at(p):
+        m = np.eye(4, dtype=np.float32)
+        m[:3, 3] = p
+        return m[None]
+
+    hs.add_instance_group(base, 0, _at((-1.2, 2.0, -0.25)))
+    hs.add_instance_group(base, 1, _at((1.2, 2.4, -0.25)))
+    hs.add_light(
+        L.spot_light(
+            (2.0, 2.0, 2.0),
+            (0.0, 1.8, 1.7),
+            (0.0, 0.0, -1.0),
+            float(np.cos(np.pi / 6)),
+            float(np.cos(np.pi / 3)),
+            0.01,
+        )
+    )
+    hs.env_color = (0.1, 0.1, 0.1)
+    hs.camera = CameraConfig(
+        position=(0.0, 0.0, 0.0),
+        direction=(0.0, 1.0, 0.0),
+        width=width,
+        height=height,
+    )
+    return scene_from_host(hs, use_bvh=use_bvh)

@@ -70,12 +70,12 @@ def test_instanced_render_matches_baked():
 
     w = h = 32
     cfg = MegakernelConfig(max_depth=2, **CFG)
-    a = np.asarray(jax.jit(
-        lambda: render_sample_batch(_base_scene(True), cfg, w, h, jnp.uint32(0))
-    )())
-    b = np.asarray(jax.jit(
-        lambda: render_sample_batch(_base_scene(False), cfg, w, h, jnp.uint32(0))
-    )())
+    # scenes built OUTSIDE jit (argument path): constant folding must
+    # not mask precision bugs in the transform pipeline (r5 bf16 matmul
+    # finding, docs/quality.md)
+    f = jax.jit(lambda s: render_sample_batch(s, cfg, w, h, jnp.uint32(0)))
+    a = np.asarray(f(_base_scene(True)))
+    b = np.asarray(f(_base_scene(False)))
     assert np.isfinite(a).all()
     assert a.max() > 0.01  # spheres are actually lit/visible
     # identical estimator, fp-level intersection differences only
@@ -118,12 +118,9 @@ def test_instanced_rotation_scale():
         return scene_from_host(hs, use_bvh=True)
 
     cfg = MegakernelConfig(max_depth=2, **CFG)
-    a = np.asarray(jax.jit(
-        lambda: render_sample_batch(mk(True), cfg, 24, 24, jnp.uint32(0))
-    )())
-    b = np.asarray(jax.jit(
-        lambda: render_sample_batch(mk(False), cfg, 24, 24, jnp.uint32(0))
-    )())
+    f = jax.jit(lambda s: render_sample_batch(s, cfg, 24, 24, jnp.uint32(0)))
+    a = np.asarray(f(mk(True)))
+    b = np.asarray(f(mk(False)))
     assert np.abs(a - b).mean() < 1e-4
 
 
@@ -153,3 +150,134 @@ def test_parser_world_instances_without_duplication(tmp_path):
     base = np.stack(generate_sphere((0.0, 0.0, 0.0), 0.5, 8, 16)).shape[0]
     # one base mesh only (possibly BVH-padded, never 4x)
     assert scene.tri_v0.shape[0] < 2 * base
+
+
+def test_multi_mesh_groups_match_baked():
+    """r5 (VERDICT r4 next-4): TWO distinct base meshes x several
+    instances each, PLUS baked geometry, render identically to the
+    fully-baked scene. Exercises per-mesh BVH tables, global tri-index
+    offsets, the per-instance world-AABB cull and sorted dispatch."""
+    import jax
+
+    sph = np.stack(generate_sphere((0.0, 0.0, 0.0), 0.5, 6, 12))
+    # mesh 2: a unit tetrahedron
+    tet = np.array(
+        [
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0]],
+            [[0, 0, 0], [1, 0, 0], [0, 0, 1]],
+            [[0, 0, 0], [0, 1, 0], [0, 0, 1]],
+            [[1, 0, 0], [0, 1, 0], [0, 0, 1]],
+        ],
+        np.float32,
+    )
+    floor = np.array(
+        [
+            [[-4, -0.6, -4], [4, -0.6, -4], [4, -0.6, 6]],
+            [[-4, -0.6, -4], [4, -0.6, 6], [-4, -0.6, 6]],
+        ],
+        np.float32,
+    )
+
+    def mats_at(positions, scale=1.0):
+        out = []
+        for p in positions:
+            m = np.eye(4, dtype=np.float32)
+            m[:3, :3] *= scale
+            m[:3, 3] = p
+            out.append(m)
+        return np.stack(out)
+
+    sph_mats = mats_at([(-1.2, 2.6, 0), (1.2, 2.6, 0), (0, 3.8, 0)])
+    tet_mats = mats_at([(-1.5, 1.2, 0.5), (1.0, 1.2, 0.5)], scale=0.8)
+
+    def mk(grouped):
+        hs = HostScene()
+        hs.camera = CameraConfig(width=24, height=24)
+        hs.materials = [
+            B.oren_nayar((0.8, 0.6, 0.4), 0.4),
+            B.oren_nayar((0.4, 0.6, 0.8), 0.2),
+            B.oren_nayar((0.7, 0.7, 0.7), 0.5),
+        ]
+        hs.lights = [
+            L.point_light((40.0, 40.0, 40.0), (0.0, 1.0, 3.0), 1e-3)
+        ]
+        if grouped:
+            hs.add_model(list(floor), 2)  # baked geometry coexists
+            hs.add_instance_group(sph, 0, sph_mats)
+            hs.add_instance_group(tet, 1, tet_mats)
+        else:
+            from cuda_optix_pathtracing_tpu.native import transform_tris
+
+            hs.add_model(list(floor), 2)
+            for m in sph_mats:
+                hs.add_model(list(transform_tris(sph, m)), 0)
+            for m in tet_mats:
+                hs.add_model(list(transform_tris(tet, m)), 1)
+        return scene_from_host(hs, use_bvh=True)
+
+    s_g = mk(True)
+    assert s_g.instances is not None
+    assert s_g.instances.world_from_obj.shape[0] == 6  # identity + 3 + 2
+    # memory: global arrays hold each mesh ONCE
+    assert s_g.tri_v0.shape[0] < mk(False).tri_v0.shape[0] / 1.5
+
+    cfg = MegakernelConfig(max_depth=2, **CFG)
+    import jax
+
+    f = jax.jit(lambda s: render_sample_batch(s, cfg, 24, 24, jnp.uint32(0)))
+    a = np.asarray(f(mk(True)))
+    b = np.asarray(f(mk(False)))
+    assert np.isfinite(a).all()
+    assert a.max() > 0.01
+    assert np.abs(a - b).mean() < 1e-4
+    assert (np.abs(a - b).max(-1) > 1e-2).mean() < 0.01
+
+
+def test_group_restrictions_raise():
+    """Emissive materials / textures are explicit errors in grouped
+    scenes (NEE would sample object-space geometry)."""
+    import pytest
+
+    sph = np.stack(generate_sphere((0.0, 0.0, 0.0), 0.5, 4, 8))
+    hs = HostScene()
+    hs.camera = CameraConfig(width=8, height=8)
+    hs.materials = [B.diffuse_light((5.0, 5.0, 5.0))]
+    hs.add_instance_group(sph, 0, np.stack([np.eye(4, dtype=np.float32)]))
+    with pytest.raises(ValueError, match="emissive"):
+        scene_from_host(hs, use_bvh=False)
+
+
+def test_parser_mixed_instanced_and_baked_world(tmp_path):
+    """r5: a world that places one object under 4 transforms AND another
+    object once gets an instance group for the repeated object and bakes
+    the singleton — the grouped build's identity-instance carries the
+    baked geometry."""
+    doc = {
+        "camera": {},
+        "film": {"resolutionX": 16, "resolutionY": 16},
+        "materials": [{"name": "white", "diffuse": [0.8, 0.8, 0.8]}],
+        "objects": [
+            {"name": "ball", "type": "primitive", "shape": "sphere",
+             "material": "white"},
+            {"name": "slab", "type": "primitive", "shape": "cube",
+             "material": "white"},
+        ],
+        "lights": [],
+        "transforms": [
+            {"name": f"t{k}", "srt": {"translation-vector": [k, 3, 0]}}
+            for k in range(4)
+        ] + [{"name": "tslab", "srt": {"translation-vector": [0, 0, 0]}}],
+        "world": {
+            **{f"t{k}": {"instances": ["ball"]} for k in range(4)},
+            "tslab": {"instances": ["slab"]},
+        },
+    }
+    p = tmp_path / "mixed.json"
+    p.write_text(json.dumps(doc))
+    scene, _ = load_scene(str(p))
+    assert scene.instances is not None
+    # 4 ball placements + 1 identity instance for the baked slab
+    assert scene.instances.world_from_obj.shape[0] == 5
+    ball = np.stack(generate_sphere((0.0, 0.0, 0.0), 0.5, 8, 16)).shape[0]
+    # global arrays: one ball mesh + one cube (12 tris), never 4 balls
+    assert scene.tri_v0.shape[0] < 2 * ball

