@@ -719,12 +719,25 @@ def _nee(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, hit, 
         pdf = jnp.where(is_area, pdf_a, pdf)
         le = jnp.where(is_area[..., None], le_a, le)
 
-    shadow_o = offset_ray_origin(hit.pos, hit.error, hit.normal, direction)
-    occluded = _any(scene, cfg, shadow_o, direction, distance, alive=alive)
-
     ns = hit.normal if ns is None else ns
     f_cos, bsdf_pdf = eval_bsdf(
         mat, wo, direction, ns, hit.normal, inside, ft=cfg.features
+    )
+
+    # r5: the BSDF evaluation moved BEFORE the occlusion test so lanes
+    # whose NEE throughput is already zero (delta lobes, light below
+    # the hemisphere, zero-pdf samples) skip the shadow traversal —
+    # they park + sort to the batch tail and their tiles exit after one
+    # root pop. Estimator-neutral: occlusion only gates a contribution
+    # that is zero for exactly these lanes. (The reference wavefront
+    # likewise only enqueues shadow rays with non-zero throughput,
+    # wave-kernels.cuh shadow queue.)
+    shadow_live = (pdf > 0.0) & (max_component(f_cos) > 0.0)
+    if alive is not None:
+        shadow_live = shadow_live & alive
+    shadow_o = offset_ray_origin(hit.pos, hit.error, hit.normal, direction)
+    occluded = _any(
+        scene, cfg, shadow_o, direction, distance, alive=shadow_live
     )
 
     # Point/spot/directional lights are (soft-)delta emitters: they are not
@@ -874,12 +887,16 @@ def _nee_env(scene: Scene, cfg, sampler: R.Sampler, px, py, sample, depth_dim, h
     (Gen-1 evalTile env strategy, core-render.cpp:285-370)."""
     u1, u2 = sampler.sample_2d(px, py, sample, depth_dim + R.Dim.ENV_U)
     d_env, le, pdf_env = sample_envmap(scene.env, u1, u2)
-    shadow_o = offset_ray_origin(hit.pos, hit.error, hit.normal, d_env)
-    occluded = _any(scene, cfg, shadow_o, d_env, 3.0e38, alive=alive)
     f_cos, bsdf_pdf = eval_bsdf(
         mat, wo, d_env, hit.normal if ns is None else ns, hit.normal,
         inside, ft=cfg.features
     )
+    # zero-throughput lanes skip the shadow traversal (see _nee)
+    shadow_live = (pdf_env > 0.0) & (max_component(f_cos) > 0.0)
+    if alive is not None:
+        shadow_live = shadow_live & alive
+    shadow_o = offset_ray_origin(hit.pos, hit.error, hit.normal, d_env)
+    occluded = _any(scene, cfg, shadow_o, d_env, 3.0e38, alive=shadow_live)
     w = sqr(pdf_env) / jnp.maximum(sqr(pdf_env) + sqr(bsdf_pdf), 1e-24)
     contrib = le * f_cos * (w / jnp.maximum(pdf_env, 1e-12))[..., None]
     ok = (pdf_env > 0.0) & ~occluded
