@@ -27,8 +27,12 @@ Scope (statically checked, falls back to the XLA integrator otherwise):
   cornell-box.pbrt class), uniform 1/L selection (no light tree, no
   envmap NEE)
 - constant environment on miss
-- hash (pcg4d) sampler — identical keying to ops/rng.py, so images
-  agree with the XLA integrator up to float reassociation
+- hash (pcg4d) OR Owen-scrambled Halton sampler (r5) — identical
+  keying to ops/rng.py, so images agree with the XLA integrator up to
+  float reassociation; halton Python-unrolls the depth loop for static
+  prime-base selection (envmap NEE stays XLA-side: the 2-D CDF walk
+  needs per-lane gathers Mosaic doesn't have — docs/perf_notes.md r5
+  deferral)
 
 Layout: rays in lanes, (BLOCK_ROWS, 128) tiles; vectors are component
 tuples (x, y, z) of such planes (inside a kernel there is no XLA layout
